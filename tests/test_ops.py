@@ -1,0 +1,263 @@
+"""Unit tests for the L0 tensor-ops layer.
+
+The correctness oracles are the reference's own informal equivalence checks
+(SURVEY §4): naive-einsum specs from the commented quadruple loops
+(`fast_robust_triple_tensor/buildF.m:5-16`), the Kronecker baselines
+(`origin_triple_tensor/kronF.m`), and the Gram-factorization identity
+F F^T = GramB (.) GramC.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tritd_tpu.ops import (
+    build_f,
+    build_g,
+    build_h,
+    capped_simplex_projection,
+    flsa,
+    fold,
+    gram_mode,
+    kron_f,
+    prox_l1,
+    rhs_mode,
+    ridge_solve,
+    soft_threshold,
+    svt,
+    svt_ref_compat,
+    triple_product,
+    triple_product_naive,
+    unfold,
+    weighted_soft_threshold,
+)
+
+N1, N2, N3, R = 4, 5, 6, 3
+
+
+@pytest.fixture(scope="module")
+def cores(rng_key):
+    ka, kb, kc, kx = jax.random.split(rng_key, 4)
+    a = jax.random.normal(ka, (N1, R, R))
+    b = jax.random.normal(kb, (R, N2, R))
+    c = jax.random.normal(kc, (R, R, N3))
+    x = jax.random.normal(kx, (N1, N2, N3))
+    return a, b, c, x
+
+
+def test_unfold_fold_roundtrip(rng_key):
+    x = jax.random.normal(rng_key, (N1, N2, N3))
+    for mode in (1, 2, 3):
+        assert jnp.allclose(fold(unfold(x, mode), mode, x.shape), x)
+
+
+def test_unfold_shapes(rng_key):
+    x = jax.random.normal(rng_key, (N1, N2, N3))
+    assert unfold(x, 1).shape == (N1, N2 * N3)
+    assert unfold(x, 2).shape == (N2, N1 * N3)
+    assert unfold(x, 3).shape == (N3, N1 * N2)
+
+
+def test_unfold_entry_convention(rng_key):
+    """unfold(X,1)[i, t*n2 + j] == X[i,j,t] etc. (fold.py docstring spec)."""
+    x = jax.random.normal(rng_key, (N1, N2, N3))
+    i, j, t = 2, 3, 4
+    assert unfold(x, 1)[i, t * N2 + j] == x[i, j, t]
+    assert unfold(x, 2)[j, t * N1 + i] == x[i, j, t]
+    assert unfold(x, 3)[t, j * N1 + i] == x[i, j, t]
+
+
+@pytest.mark.parametrize("variant", ["hadamard", "full"])
+def test_design_matrices_vs_naive(cores, variant):
+    """Entrywise check of F/G/H against the commented-loop specs."""
+    a, b, c, _ = cores
+    f = np.asarray(build_f(b, c, variant))
+    g = np.asarray(build_g(a, c, variant))
+    h = np.asarray(build_h(a, b, variant))
+    an, bn, cn = np.asarray(a), np.asarray(b), np.asarray(c)
+    for q in range(R):
+        for s in range(R):
+            for j in range(N2):
+                for t in range(N3):
+                    if variant == "hadamard":
+                        want = bn[q, j, s] * cn[q, s, t]
+                    else:
+                        want = np.sum(bn[:, j, s] * cn[:, q, t])
+                    np.testing.assert_allclose(
+                        f[q * R + s, t * N2 + j], want, rtol=1e-5
+                    )
+    for p in range(R):
+        for s in range(R):
+            for i in range(N1):
+                for t in range(N3):
+                    if variant == "hadamard":
+                        want = an[i, p, s] * cn[p, s, t]
+                    else:
+                        want = np.sum(an[i, :, s] * cn[p, :, t])
+                    np.testing.assert_allclose(
+                        g[p * R + s, t * N1 + i], want, rtol=1e-5
+                    )
+    for p in range(R):
+        for q in range(R):
+            for i in range(N1):
+                for j in range(N2):
+                    if variant == "hadamard":
+                        want = an[i, p, q] * bn[p, j, q]
+                    else:
+                        want = np.sum(an[i, q, :] * bn[p, j, :])
+                    np.testing.assert_allclose(
+                        h[p * R + q, j * N1 + i], want, rtol=1e-5
+                    )
+
+
+@pytest.mark.parametrize("variant", ["hadamard", "full"])
+def test_triple_product_matches_naive(cores, variant):
+    a, b, c, _ = cores
+    got = triple_product(a, b, c, variant)
+    want = triple_product_naive(a, b, c, variant)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("variant", ["hadamard", "full"])
+def test_triple_product_is_unfold_gemm(cores, variant):
+    """unfold(L, 1) == A_(1) @ F — the reference's reconstruction identity
+    (`triple_product.m:6-7`)."""
+    a, b, c, _ = cores
+    l = triple_product(a, b, c, variant)
+    a1 = a.reshape(N1, R * R)
+    f = build_f(b, c, variant)
+    np.testing.assert_allclose(
+        np.asarray(unfold(l, 1)), np.asarray(a1 @ f), rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("variant", ["hadamard", "full"])
+@pytest.mark.parametrize("mode", [1, 2, 3])
+def test_gram_factorization_identity(cores, variant, mode):
+    """K(mode) == D D^T for D in {F, G, H} — the Hadamard-of-Grams identity
+    that lets the solver skip materializing designs (SURVEY §2.1)."""
+    a, b, c, _ = cores
+    d = {1: build_f(b, c, variant), 2: build_g(a, c, variant), 3: build_h(a, b, variant)}[mode]
+    k = gram_mode(mode, a, b, c, variant)
+    np.testing.assert_allclose(np.asarray(k), np.asarray(d @ d.T), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["hadamard", "full"])
+@pytest.mark.parametrize("mode", [1, 2, 3])
+def test_rhs_identity(cores, variant, mode):
+    """rhs(mode) == unfold(X, mode) @ D^T without materializing D."""
+    a, b, c, x = cores
+    d = {1: build_f(b, c, variant), 2: build_g(a, c, variant), 3: build_h(a, b, variant)}[mode]
+    rhs = rhs_mode(mode, x, a, b, c, variant)
+    np.testing.assert_allclose(
+        np.asarray(rhs), np.asarray(unfold(x, mode) @ d.T), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_kron_f_equals_full_build(cores):
+    a, b, c, _ = cores
+    np.testing.assert_allclose(
+        np.asarray(kron_f(b, c)), np.asarray(build_f(b, c, "full")), rtol=1e-5
+    )
+
+
+def test_ridge_solve_methods_agree(cores):
+    a, b, c, x = cores
+    k = gram_mode(1, a, b, c, "hadamard")
+    rhs = rhs_mode(1, x, a, b, c, "hadamard")
+    sols = [ridge_solve(k, rhs, 1e-3, m) for m in ("cholesky", "pinv", "lstsq")]
+    for s in sols[1:]:
+        np.testing.assert_allclose(np.asarray(sols[0]), np.asarray(s), rtol=1e-3, atol=1e-4)
+
+
+def test_ridge_solve_solves_system(cores):
+    a, b, c, x = cores
+    k = gram_mode(2, a, b, c, "hadamard")
+    rhs = rhs_mode(2, x, a, b, c, "hadamard")
+    alpha = 1e-3
+    sol = ridge_solve(k, rhs, alpha)
+    np.testing.assert_allclose(
+        np.asarray(sol @ (k + alpha * jnp.eye(R * R))), np.asarray(rhs),
+        rtol=1e-3, atol=1e-3,
+    )
+
+
+def test_soft_threshold():
+    x = jnp.array([-3.0, -0.5, 0.0, 0.2, 2.0])
+    got = soft_threshold(x, 1.0)
+    np.testing.assert_allclose(np.asarray(got), [-2.0, 0.0, 0.0, 0.0, 1.0])
+    # prox_l1 (max/min form of `prox_l1.m:12`) is the same operator
+    np.testing.assert_allclose(np.asarray(prox_l1(x, 1.0)), np.asarray(got))
+
+
+def test_weighted_soft_threshold():
+    x = jnp.array([2.0, -2.0, 2.0])
+    w = jnp.array([0.5, 1.0, 3.0])
+    got = weighted_soft_threshold(x, 1.0, w)
+    np.testing.assert_allclose(np.asarray(got), [1.5, -1.0, 0.0])
+
+
+def test_svt_shrinks_singular_values(rng_key):
+    m = jax.random.normal(rng_key, (8, 6))
+    tau = 0.5
+    got = svt(m, tau)
+    s_orig = jnp.linalg.svd(m, compute_uv=False)
+    s_got = jnp.linalg.svd(got, compute_uv=False)
+    np.testing.assert_allclose(
+        np.asarray(s_got), np.asarray(jnp.maximum(s_orig - tau, 0.0)), atol=1e-5
+    )
+
+
+def test_svt_ref_compat_truncation(rng_key):
+    """The `r = sum(S > 1)` quirk: shrunk values <= 1 are dropped entirely."""
+    u, _, vt = jnp.linalg.svd(jax.random.normal(rng_key, (6, 6)))
+    s = jnp.array([5.0, 3.0, 1.4, 0.9, 0.3, 0.1])
+    m = (u * s[None, :]) @ vt
+    got = svt_ref_compat(m, 0.5)
+    s_got = jnp.linalg.svd(got, compute_uv=False)
+    np.testing.assert_allclose(np.asarray(s_got[:2]), [4.5, 2.5], atol=1e-4)
+    # 1.4 - 0.5 = 0.9 <= 1 -> dropped, unlike standard svt
+    np.testing.assert_allclose(np.asarray(s_got[2:]), np.zeros(4), atol=1e-4)
+
+
+def test_capped_simplex_projection(rng_key):
+    v = jax.random.normal(rng_key, (50,)) * 2.0
+    s = 7.0
+    x = capped_simplex_projection(v, s)
+    xn = np.asarray(x)
+    assert (xn >= -1e-6).all() and (xn <= 1 + 1e-6).all()
+    np.testing.assert_allclose(xn.sum(), s, atol=1e-4)
+    # KKT: x = clip(v - tau, 0, 1) for a single scalar tau
+    interior = (xn > 1e-5) & (xn < 1 - 1e-5)
+    taus = np.asarray(v)[interior] - xn[interior]
+    if interior.sum() > 1:
+        assert np.ptp(taus) < 1e-4
+
+
+def test_flsa_matches_cvx_style_reference(rng_key):
+    """FLSA against a brute-force coordinate solution on a tiny problem."""
+    v = jnp.array([4.0, 3.8, -1.0, -1.2, 0.1])
+    lam1, lam2 = 0.1, 0.5
+    x = flsa(v, lam1, lam2, iters=2000)
+
+    # brute force: projected gradient on the primal objective
+    xs = np.asarray(v).copy()
+    for _ in range(20000):
+        g = xs - np.asarray(v)
+        # subgradients via smoothing
+        eps = 1e-8
+        g += lam1 * xs / np.sqrt(xs**2 + eps)
+        d = np.diff(xs)
+        sg = d / np.sqrt(d**2 + eps)
+        g[:-1] -= lam2 * sg
+        g[1:] += lam2 * sg
+        xs -= 1e-3 * g
+    np.testing.assert_allclose(np.asarray(x), xs, atol=2e-2)
+
+
+def test_flsa_constant_region():
+    """Strong fusion penalty makes the signal constant; lam1 then shrinks."""
+    v = jnp.array([1.0, 2.0, 3.0, 2.0, 1.0])
+    x = flsa(v, 0.0, 100.0, iters=500)
+    np.testing.assert_allclose(np.asarray(x), np.full(5, np.mean(np.asarray(v))), atol=1e-3)

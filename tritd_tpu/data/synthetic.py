@@ -1,0 +1,98 @@
+"""Synthetic fixtures: low-TriTD-rank tensors, sparse outliers, missing masks.
+
+The reference's de-facto fixture library is SOFIA's generators
+(`other_methods/sofia/make_synthetic.m:11-27`, `make_outlier.m`,
+`make_pattern.m`) and tensor-ring's corruption injectors
+(`other_methods/tensor-ring/sampling_uniform.m`, `noise_sparse_P.m:2-18`).
+These are their JAX equivalents, used by the test pyramid (SURVEY §4) and by
+`bench.py` when the benchmark .mat datasets are not on disk.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.designs import triple_product
+
+
+def random_tritd(
+    key: jax.Array,
+    shape: tuple[int, int, int],
+    rank: int,
+    variant: str = "hadamard",
+    dtype=jnp.float32,
+    scale: float = 1.0,
+):
+    """Ground-truth low-TriTD-rank tensor from standard-normal cores,
+    normalized so entries are O(1). Returns (tensor, (a, b, c))."""
+    n1, n2, n3 = shape
+    ka, kb, kc = jax.random.split(key, 3)
+    a = jax.random.normal(ka, (n1, rank, rank), dtype)
+    b = jax.random.normal(kb, (rank, n2, rank), dtype)
+    c = jax.random.normal(kc, (rank, rank, n3), dtype)
+    x = triple_product(a, b, c, variant=variant)
+    norm = jnp.sqrt(jnp.mean(x**2)) + 1e-12
+    x = scale * x / norm
+    return x, (a, b, c)
+
+
+def sparse_outliers(
+    key: jax.Array,
+    shape: tuple[int, ...],
+    density: float,
+    magnitude: float = 10.0,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Bernoulli(density) +/- magnitude spikes (SOFIA `make_outlier.m`
+    semantics: random sign, fixed magnitude)."""
+    k_pos, k_sign = jax.random.split(key)
+    hit = jax.random.bernoulli(k_pos, density, shape)
+    sign = jnp.where(jax.random.bernoulli(k_sign, 0.5, shape), 1.0, -1.0)
+    return (hit * sign * magnitude).astype(dtype)
+
+
+def uniform_missing_mask(
+    key: jax.Array, shape: tuple[int, ...], missing_ratio: float
+) -> jnp.ndarray:
+    """Boolean OBSERVED mask with exactly round(ratio * numel) missing
+    entries drawn uniformly without replacement — the driver's protocol
+    (`traffic_triple_comparison.m:27-32`, which uses randperm, not iid
+    Bernoulli). True = observed."""
+    total = 1
+    for s in shape:
+        total *= s
+    num_missing = int(round(missing_ratio * total))
+    perm = jax.random.permutation(key, total)
+    missing_flat = jnp.zeros((total,), bool).at[perm[:num_missing]].set(True)
+    return ~missing_flat.reshape(shape)
+
+
+def make_completion_problem(
+    key: jax.Array,
+    shape: tuple[int, int, int] = (30, 30, 40),
+    rank: int = 3,
+    missing_ratio: float = 0.1,
+    outlier_density: float = 0.0,
+    outlier_magnitude: float = 10.0,
+    noise_std: float = 0.0,
+    variant: str = "hadamard",
+    dtype=jnp.float32,
+):
+    """End-to-end synthetic benchmark problem mirroring the driver protocol:
+    clean low-TriTD-rank X, optional sparse corruption, uniform missing mask,
+    zero-filled observation Y (`traffic_triple_comparison.m:27-35`).
+
+    Returns dict with x (truth), y (observed, zero-filled), mask (observed),
+    outliers, and the generating cores."""
+    k_x, k_o, k_m, k_n = jax.random.split(key, 4)
+    x, cores = random_tritd(k_x, shape, rank, variant=variant, dtype=dtype)
+    o = (
+        sparse_outliers(k_o, shape, outlier_density, outlier_magnitude, dtype)
+        if outlier_density > 0
+        else jnp.zeros(shape, dtype)
+    )
+    noise = noise_std * jax.random.normal(k_n, shape, dtype) if noise_std > 0 else 0.0
+    mask = uniform_missing_mask(k_m, shape, missing_ratio)
+    y = jnp.where(mask, x + o + noise, 0.0)
+    return {"x": x, "y": y, "mask": mask, "outliers": o, "cores": cores}

@@ -1,0 +1,196 @@
+"""Kronecker-free normal equations for the TriTD mode updates.
+
+This is the per-chip speed-of-light upgrade over the reference, which
+materializes F/G/H each iteration (`triple_decomp_ADMM.m:75-77,85-86,92-93`)
+and pays O(n^3 r^2) memory traffic per build. The Grams factorize, so the
+designs never need to exist:
+
+hadamard variant (see :mod:`tritd_tpu.ops.designs` for the contractions):
+
+    F F^T[(q,s),(q',s')] = (sum_j B[q,j,s] B[q',j,s'])   # GramB, one GEMM
+                         * (sum_t C[q,s,t] C[q',s',t])   # GramC, one GEMM
+    G G^T = GramA (.) GramC      H H^T = GramA (.) GramB
+
+with GramA = Af^T Af for Af = A reshaped (n1, r^2), and GramB/GramC the
+(r^2, r^2) Grams of the (r^2, n)-flattened B and C cores. Right-hand sides
+are single three-operand einsums (one O(n1 n2 n3 r^2) GEMM + a cheap
+contraction each):
+
+    rhs_1[i,(q,s)] = sum_{j,t} X[i,j,t] B[q,j,s] C[q,s,t]
+    rhs_2[j,(p,s)] = sum_{i,t} X[i,j,t] A[i,p,s] C[p,s,t]
+    rhs_3[t,(p,q)] = sum_{i,j} X[i,j,t] A[i,p,q] B[p,j,q]
+
+Per-mode cost drops from the reference's O(n^3 r^2) build + O(n^3 r^2) GEMM +
+pinv to O(n^3 r^2) fused GEMM + O(n r^4) Gram + O(r^6) solve, with zero
+F/G/H memory traffic.
+
+full variant: the Grams couple through the shared p/q/s contraction index but
+still reduce to r^6-scale contractions of the same three (r^2, r^2) Grams —
+no n-sized work beyond the GEMMs.
+
+Every function here is shape-polymorphic, jit-safe, and differentiable.
+The sharded path (:mod:`tritd_tpu.parallel`) psum-reduces exactly these
+Grams/RHS (O(r^4) + O(n r^2) words per iteration).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .designs import _check_variant
+
+
+# ----------------------------------------------------------------------------
+# Core Grams — each one GEMM of shape (r^2, n) x (n, r^2).
+# ----------------------------------------------------------------------------
+
+
+def gram_a(a: jnp.ndarray) -> jnp.ndarray:
+    """GramA[(p,q),(p',q')] = sum_i A[i,p,q] A[i,p',q'] — (r^2, r^2)."""
+    n1, r, _ = a.shape
+    af = a.reshape(n1, r * r)
+    return af.T @ af
+
+
+def gram_b(b: jnp.ndarray) -> jnp.ndarray:
+    """GramB[(q,s),(q',s')] = sum_j B[q,j,s] B[q',j,s'] — (r^2, r^2)."""
+    r, n2, _ = b.shape
+    bm = b.transpose(0, 2, 1).reshape(r * r, n2)
+    return bm @ bm.T
+
+
+def gram_c(c: jnp.ndarray) -> jnp.ndarray:
+    """GramC[(q,s),(q',s')] = sum_t C[q,s,t] C[q',s',t] — (r^2, r^2)."""
+    r, _, n3 = c.shape
+    cm = c.reshape(r * r, n3)
+    return cm @ cm.T
+
+
+# ----------------------------------------------------------------------------
+# Normal-equation matrices K = (design)(design)^T, (r^2, r^2), SPD.
+# ----------------------------------------------------------------------------
+
+
+def gram_mode(
+    mode: int,
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    c: jnp.ndarray,
+    variant: str = "hadamard",
+) -> jnp.ndarray:
+    """K = F F^T (mode 1) / G G^T (mode 2) / H H^T (mode 3) without ever
+    materializing the design matrix."""
+    _check_variant(variant)
+    r = a.shape[1]
+    if variant == "hadamard":
+        if mode == 1:
+            return gram_b(b) * gram_c(c)
+        if mode == 2:
+            return gram_a(a) * gram_c(c)
+        if mode == 3:
+            return gram_a(a) * gram_b(b)
+    else:
+        ga = gram_a(a).reshape(r, r, r, r)  # [q, s, q', s'] over A's pair axes
+        gb = gram_b(b).reshape(r, r, r, r)  # [p, s, p', s'] over B's pair axes
+        gc = gram_c(c).reshape(r, r, r, r)  # [p, q, p', q'] over C's pair axes
+        if mode == 1:
+            # F F^T[(q,s),(q',s')] = sum_{p,p'} GB[p,s,p',s'] GC[p,q,p',q']
+            k = jnp.einsum("psPS,pqPQ->qsQS", gb, gc)
+        elif mode == 2:
+            # G G^T[(p,s),(p',s')] = sum_{q,q'} GA[q,s,q',s'] GC[p,q,p',q']
+            k = jnp.einsum("qsQS,pqPQ->psPS", ga, gc)
+        elif mode == 3:
+            # H H^T[(p,q),(p',q')] = sum_{s,s'} GA[q,s,q',s'] GB[p,s,p',s']
+            k = jnp.einsum("qsQS,psPS->pqPQ", ga, gb)
+        else:
+            raise ValueError(f"mode must be 1, 2 or 3, got {mode}")
+        return k.reshape(r * r, r * r)
+    raise ValueError(f"mode must be 1, 2 or 3, got {mode}")
+
+
+def rhs_mode(
+    mode: int,
+    x: jnp.ndarray,
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    c: jnp.ndarray,
+    variant: str = "hadamard",
+) -> jnp.ndarray:
+    """Right-hand side unfold(X, mode) @ design^T, shape (n_mode, r^2),
+    computed as a direct three-operand einsum (no design materialization)."""
+    _check_variant(variant)
+    r = a.shape[1]
+    if variant == "hadamard":
+        if mode == 1:
+            rhs = jnp.einsum("ijt,qjs,qst->iqs", x, b, c, optimize="optimal")
+        elif mode == 2:
+            rhs = jnp.einsum("ijt,ips,pst->jps", x, a, c, optimize="optimal")
+        elif mode == 3:
+            rhs = jnp.einsum("ijt,ipq,pjq->tpq", x, a, b, optimize="optimal")
+        else:
+            raise ValueError(f"mode must be 1, 2 or 3, got {mode}")
+    else:
+        if mode == 1:
+            rhs = jnp.einsum("ijt,pjs,pqt->iqs", x, b, c, optimize="optimal")
+        elif mode == 2:
+            rhs = jnp.einsum("ijt,iqs,pqt->jps", x, a, c, optimize="optimal")
+        elif mode == 3:
+            rhs = jnp.einsum("ijt,iqs,pjs->tpq", x, a, b, optimize="optimal")
+        else:
+            raise ValueError(f"mode must be 1, 2 or 3, got {mode}")
+    n_mode = rhs.shape[0]
+    return rhs.reshape(n_mode, r * r)
+
+
+def gram_and_rhs(
+    mode: int,
+    x: jnp.ndarray,
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    c: jnp.ndarray,
+    variant: str = "hadamard",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(K, rhs) for the ridge system of the given mode update."""
+    return (
+        gram_mode(mode, a, b, c, variant=variant),
+        rhs_mode(mode, x, a, b, c, variant=variant),
+    )
+
+
+# ----------------------------------------------------------------------------
+# Ridge solve — replaces the reference's SVD-based `pinv(K + alpha I)`
+# (`triple_decomp_ADMM.m:77-78,86,93`) with an SPD Cholesky solve (TPU native;
+# no SVD on the hot path). `pinv` and `lstsq` kept as compat fallbacks for
+# near-singular unridged systems.
+# ----------------------------------------------------------------------------
+
+SOLVE_METHODS = ("cholesky", "pinv", "lstsq")
+
+
+@functools.partial(jax.jit, static_argnames=("method",))
+def ridge_solve(
+    k: jnp.ndarray,
+    rhs: jnp.ndarray,
+    alpha: jnp.ndarray | float,
+    method: str = "cholesky",
+) -> jnp.ndarray:
+    """Solve rows @ (K + alpha I) = rhs for rows, i.e. rhs @ inv(K + alpha I).
+
+    K is SPD (a Gram), so Cholesky is exact where pinv is approximate; the
+    reference's alpha=1e-9 mode-3 system can be near-singular, hence the
+    pinv/lstsq escape hatches (SURVEY §7 risk b).
+    """
+    m = k.shape[0]
+    kr = k + jnp.asarray(alpha, k.dtype) * jnp.eye(m, dtype=k.dtype)
+    if method == "cholesky":
+        cho = jax.scipy.linalg.cho_factor(kr, lower=True)
+        # Solve K Z = rhs^T, answer = Z^T  (K symmetric).
+        return jax.scipy.linalg.cho_solve(cho, rhs.T).T
+    if method == "pinv":
+        return rhs @ jnp.linalg.pinv(kr)
+    if method == "lstsq":
+        return jnp.linalg.lstsq(kr, rhs.T)[0].T
+    raise ValueError(f"method must be one of {SOLVE_METHODS}, got {method!r}")

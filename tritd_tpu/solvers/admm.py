@@ -1,0 +1,232 @@
+"""Robust TriTD-ADMM solver — the framework's flagship model.
+
+Semantics follow `fast_robust_triple_tensor/triple_decomp_ADMM.m:31-66`
+exactly (two-constraint ADMM on X = L + O, O = E):
+
+  per iteration k:
+    T   = D - O + Y_L / muL
+    A  <- ridge-LS rows of unfold(T,1) against design F(B, C)   (alpha = lambda2)
+    B  <- ridge-LS against G(A, C)                              (alpha = lambda2)
+    C  <- ridge-LS against H(A, B)                              (alpha = 1e-9)
+    L   = triple_product(A, B, C)
+    O   = (muL * (D - L + Y_L/muL) + muO * (E - Y_O/muO)) / (muL + muO)
+    E   = soft_threshold(O + Y_O/muO, lambda/muO)
+    Y_L += muL * (D - L - O);   Y_O += muO * (O - E)
+    muL = min(muL*rho, mu*1e6); muO likewise
+    err[k] = (||D-L-O|| + ||O-E||) / ||D||
+    stop when |err[k] - err[k-1]| < tol * err[k-1]
+
+TPU-native differences (not semantic ones):
+  * the mode solves use the Kronecker-free Hadamard-of-Grams normal
+    equations (:mod:`tritd_tpu.ops.normal_eq`) — F/G/H never materialize;
+  * pinv(K + alpha I) becomes an SPD Cholesky solve (pinv/lstsq compat flags);
+  * the whole loop is one `lax.while_loop` under `jit` — static shapes,
+    no host round-trips, early-stop preserved via a carried `done` flag;
+  * optional masked completion: unobserved entries are imputed with the
+    current L + O estimate each iteration (config.masked).
+
+The whole iteration is ~6 einsum/GEMMs of O(n1 n2 n3 r^2) + 5 elementwise
+O(n1 n2 n3) sweeps + 3 (r^2)^3 Cholesky solves. XLA fuses the elementwise
+chain; the optional Pallas kernel (ops/pallas_kernels.py) fuses it with the
+residual-norm reductions into a single HBM pass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import designs, normal_eq
+from ..ops.fold import core_a_from_mat, core_b_from_mat, core_c_from_mat
+from ..ops.shrinkage import soft_threshold
+from .base import TriTDConfig, TriTDResult, TriTDState
+
+
+def init_factors(
+    key: jax.Array, shape: tuple[int, int, int], rank: int, dtype
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Standard-normal factor init (reference: `randn`, `triple_decomp_ADMM.m:24`)."""
+    n1, n2, n3 = shape
+    ka, kb, kc = jax.random.split(key, 3)
+    a = jax.random.normal(ka, (n1, rank, rank), dtype)
+    b = jax.random.normal(kb, (rank, n2, rank), dtype)
+    c = jax.random.normal(kc, (rank, rank, n3), dtype)
+    return a, b, c
+
+
+def update_factors(
+    t: jnp.ndarray,
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    c: jnp.ndarray,
+    cfg: TriTDConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One Gauss-Seidel sweep of the three ridge mode solves
+    (`triple_decomp_ADMM.m:73-95`). Each later solve sees the fresh earlier
+    factors, exactly as in the reference."""
+    r = cfg.rank
+    variant = cfg.variant
+    method = cfg.solve_method
+
+    k1, rhs1 = normal_eq.gram_and_rhs(1, t, a, b, c, variant=variant)
+    a = core_a_from_mat(normal_eq.ridge_solve(k1, rhs1, cfg.lambda2, method), r)
+
+    k2, rhs2 = normal_eq.gram_and_rhs(2, t, a, b, c, variant=variant)
+    b = core_b_from_mat(normal_eq.ridge_solve(k2, rhs2, cfg.lambda2, method), r)
+
+    k3, rhs3 = normal_eq.gram_and_rhs(3, t, a, b, c, variant=variant)
+    c = core_c_from_mat(normal_eq.ridge_solve(k3, rhs3, cfg.alpha_c, method), r)
+    return a, b, c
+
+
+def admm_iteration(
+    d: jnp.ndarray,
+    state: TriTDState,
+    cfg: TriTDConfig,
+    mask: jnp.ndarray | None = None,
+    origin: jnp.ndarray | None = None,
+    norm_d: jnp.ndarray | None = None,
+    norm_origin: jnp.ndarray | None = None,
+) -> TriTDState:
+    """One ADMM iteration (`triple_decomp_ADMM.m:31-66`). Pure function of
+    the state; jit/vmap/shard_map friendly."""
+    a, b, c = state.a, state.b, state.c
+    o, e, y_l, y_o = state.o, state.e, state.y_l, state.y_o
+    mu_l, mu_o = state.mu_l, state.mu_o
+    k = state.k
+
+    if norm_d is None:
+        norm_d = jnp.linalg.norm(d.ravel())
+
+    if cfg.masked and mask is not None:
+        # Impute unobserved entries with the current model estimate so the
+        # data term only binds on observed entries (extension; see module doc).
+        l_prev = designs.triple_product(a, b, c, variant=cfg.variant)
+        d = jnp.where(mask, d, l_prev + o)
+
+    # 1) factor updates against T = D - O + Y_L/muL
+    t = d - o + y_l / mu_l
+    a, b, c = update_factors(t, a, b, c, cfg)
+    l = designs.triple_product(a, b, c, variant=cfg.variant)
+
+    # 2) O averaging, 3) E shrinkage, 4) dual ascent  (elementwise block)
+    r1 = d - l + y_l / mu_l
+    r2 = e - y_o / mu_o
+    o = (mu_l * r1 + mu_o * r2) / (mu_l + mu_o)
+    e = soft_threshold(o + y_o / mu_o, cfg.lambda_l1 / mu_o)
+    res_l = d - l - o
+    res_o = o - e
+    y_l = y_l + mu_l * res_l
+    y_o = y_o + mu_o * res_o
+
+    # 5) penalty annealing with the mu*1e6 cap (`:55-57`)
+    mu_cap = jnp.asarray(cfg.mu * cfg.mu_cap_factor, mu_l.dtype)
+    mu_l = jnp.minimum(mu_l * cfg.rho, mu_cap)
+    mu_o = jnp.minimum(mu_o * cfg.rho, mu_cap)
+
+    err = (jnp.linalg.norm(res_l.ravel()) + jnp.linalg.norm(res_o.ravel())) / norm_d
+    err_hist = state.err_hist.at[k].set(err)
+
+    if origin is not None:
+        if norm_origin is None:
+            norm_origin = jnp.linalg.norm(origin.ravel())
+        rre = jnp.linalg.norm((l - origin).ravel()) / norm_origin
+        rre_hist = state.rre_hist.at[k].set(rre)
+    else:
+        rre_hist = state.rre_hist
+
+    # relative-change stopping rule (`:63-65`)
+    err_prev = err_hist[jnp.maximum(k - 1, 0)]
+    done = (k >= 1) & (jnp.abs(err - err_prev) < cfg.tol * err_prev)
+
+    return TriTDState(
+        a=a, b=b, c=c, o=o, e=e, y_l=y_l, y_o=y_o,
+        mu_l=mu_l, mu_o=mu_o, k=k + 1,
+        err_hist=err_hist, rre_hist=rre_hist, done=done,
+    )
+
+
+def init_state(
+    d: jnp.ndarray, cfg: TriTDConfig, key: jax.Array
+) -> TriTDState:
+    dtype = cfg.jnp_dtype()
+    d = d.astype(dtype)
+    a, b, c = init_factors(key, d.shape, cfg.rank, dtype)
+    zeros = jnp.zeros_like(d)
+    nan_hist = jnp.full((cfg.max_iter,), jnp.nan, dtype)
+    return TriTDState(
+        a=a, b=b, c=c,
+        o=zeros, e=zeros, y_l=zeros, y_o=zeros,
+        mu_l=jnp.asarray(cfg.mu, dtype), mu_o=jnp.asarray(cfg.mu, dtype),
+        k=jnp.asarray(0, jnp.int32),
+        err_hist=nan_hist, rre_hist=nan_hist,
+        done=jnp.asarray(False),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "has_mask", "has_origin"))
+def _admm_run(d, mask, origin, key, cfg: TriTDConfig, has_mask, has_origin):
+    dtype = cfg.jnp_dtype()
+    d = d.astype(dtype)
+    mask = mask if has_mask else None
+    origin = origin.astype(dtype) if has_origin else None
+    norm_d = jnp.linalg.norm(d.ravel())
+    norm_origin = (
+        jnp.linalg.norm(origin.ravel()) if has_origin else None
+    )
+    state0 = init_state(d, cfg, key)
+
+    def cond(state: TriTDState):
+        return (state.k < cfg.max_iter) & ~state.done
+
+    def body(state: TriTDState):
+        return admm_iteration(
+            d, state, cfg, mask=mask, origin=origin,
+            norm_d=norm_d, norm_origin=norm_origin,
+        )
+
+    final = jax.lax.while_loop(cond, body, state0)
+    return TriTDResult(
+        a=final.a, b=final.b, c=final.c, o=final.o, e=final.e,
+        err_hist=final.err_hist, rre_hist=final.rre_hist, n_iters=final.k,
+    )
+
+
+def tritd_admm(
+    d: jnp.ndarray,
+    cfg: TriTDConfig = TriTDConfig(),
+    key: jax.Array | None = None,
+    mask: jnp.ndarray | None = None,
+    origin: jnp.ndarray | None = None,
+) -> TriTDResult:
+    """Run robust TriTD-ADMM on a 3-way tensor.
+
+    Args:
+      d: observed (possibly corrupted/zero-filled) tensor (n1, n2, n3).
+      cfg: hyperparameters; defaults = completion driver preset.
+      key: PRNG key for factor init (defaults to seed 0, mirroring the
+        reference's `rng(0)` — `traffic_triple_comparison.m:4`).
+      mask: optional bool tensor of *observed* entries (used when cfg.masked).
+      origin: optional ground truth; when given, per-iteration oracle RRE
+        ||L - origin||/||origin|| is recorded in rre_hist (the reference's
+        oracle instrumentation pattern, SURVEY §4).
+
+    Returns:
+      TriTDResult with factors, sparse parts and histories.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    has_mask = mask is not None
+    has_origin = origin is not None
+    dummy = jnp.zeros((1,), cfg.jnp_dtype())
+    return _admm_run(
+        d,
+        mask if has_mask else dummy,
+        origin if has_origin else dummy,
+        key,
+        cfg,
+        has_mask,
+        has_origin,
+    )
