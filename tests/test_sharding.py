@@ -1,0 +1,88 @@
+"""Distributed tier of the test pyramid (SURVEY §4): sharded iteration must
+match the single-device solver on an 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tritd_tpu.data.synthetic import random_tritd, sparse_outliers
+from tritd_tpu.parallel import make_mesh, tritd_admm_sharded, tritd_admm_auto
+from tritd_tpu.solvers import TriTDConfig, tritd_admm, trim_history
+
+SHAPE = (22, 13, 17)  # n1 NOT divisible by 8 — exercises slab padding
+
+
+@pytest.fixture(scope="module")
+def problem():
+    key = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(key)
+    x, _ = random_tritd(k1, SHAPE, rank=2)
+    o = sparse_outliers(k2, SHAPE, density=0.05, magnitude=4.0)
+    return x + o
+
+
+@pytest.mark.parametrize("n_slab", [2, 8])
+def test_sharded_matches_single_device(problem, n_slab):
+    cfg = TriTDConfig(rank=2, max_iter=25, tol=0.0)
+    mesh = make_mesh(n_slab=n_slab)
+    ref = tritd_admm(problem, cfg)
+    got = tritd_admm_sharded(problem, cfg, mesh)
+    assert int(got.n_iters) == int(ref.n_iters)
+    np.testing.assert_allclose(
+        np.asarray(trim_history(got.err_hist, got.n_iters)),
+        np.asarray(trim_history(ref.err_hist, ref.n_iters)),
+        rtol=2e-3, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.o), np.asarray(ref.o), rtol=2e-2, atol=2e-3
+    )
+
+
+def test_sharded_full_variant(problem):
+    cfg = TriTDConfig(rank=2, max_iter=10, tol=0.0, variant="full")
+    mesh = make_mesh(n_slab=4)
+    ref = tritd_admm(problem, cfg)
+    got = tritd_admm_sharded(problem, cfg, mesh)
+    np.testing.assert_allclose(
+        np.asarray(trim_history(got.err_hist, got.n_iters)),
+        np.asarray(trim_history(ref.err_hist, ref.n_iters)),
+        rtol=5e-3, atol=1e-5,
+    )
+
+
+def test_auto_sharding_matches(problem):
+    cfg = TriTDConfig(rank=2, max_iter=15, tol=0.0)
+    mesh = make_mesh(n_slab=8)
+    ref = tritd_admm(problem, cfg)
+    got = tritd_admm_auto(problem, cfg, mesh)
+    np.testing.assert_allclose(
+        np.asarray(trim_history(got.err_hist, got.n_iters)),
+        np.asarray(trim_history(ref.err_hist, ref.n_iters)),
+        rtol=2e-3, atol=1e-5,
+    )
+
+
+def test_sharded_early_stop(problem):
+    cfg = TriTDConfig(rank=2, max_iter=100, tol=1e-3)
+    mesh = make_mesh(n_slab=4)
+    got = tritd_admm_sharded(problem, cfg, mesh)
+    assert int(got.n_iters) < 100
+
+
+def test_batch_sharded_dp_tp(problem):
+    """2-D mesh: independent problems on the data axis, slabs on the slab
+    axis. Each batch entry must match its own single-device solve."""
+    from tritd_tpu.parallel import tritd_admm_batch_sharded
+
+    cfg = TriTDConfig(rank=2, max_iter=12, tol=0.0)
+    mesh = make_mesh(n_slab=4, n_data=2)
+    batch = jnp.stack([problem, problem * 0.5])
+    got = tritd_admm_batch_sharded(batch, cfg, mesh)
+    for idx in range(2):
+        ref = tritd_admm(batch[idx], cfg, key=jax.random.split(jax.random.PRNGKey(0), 2)[idx])
+        np.testing.assert_allclose(
+            np.asarray(got.err_hist[idx][:12]),
+            np.asarray(ref.err_hist[:12]),
+            rtol=5e-3, atol=1e-5,
+        )

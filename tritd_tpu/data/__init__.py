@@ -1,1 +1,20 @@
-"""data subpackage of tritd_tpu."""
+"""Datasets: synthetic fixtures and benchmark .mat ingest."""
+
+from .synthetic import (
+    random_tritd,
+    sparse_outliers,
+    uniform_missing_mask,
+    make_completion_problem,
+)
+from .loaders import DATASETS, DatasetSpec, load_dataset, load_groundtruth
+
+__all__ = [
+    "random_tritd",
+    "sparse_outliers",
+    "uniform_missing_mask",
+    "make_completion_problem",
+    "DATASETS",
+    "DatasetSpec",
+    "load_dataset",
+    "load_groundtruth",
+]

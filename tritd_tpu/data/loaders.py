@@ -1,0 +1,130 @@
+"""Benchmark dataset ingest.
+
+The reference drivers `load(name + ".mat")` from a user-provided path
+(`traffic_triple_comparison.m:20`, `video_triple_comparison.m:20`) — the
+datasets themselves are NOT in the repo (SURVEY §2). Traffic .mat files hold
+the tensor in variable `T` (cast `double(T)`, `:22`); video .mat files hold
+`gray_images` (`:21`). Per-dataset constants from the drivers:
+
+  * taxi is truncated to its first 500 frames (`traffic_triple_comparison.m:23-25`)
+  * FCTN 4-way reshape subdims: sensor 6, network 16, taxi 10, chicago 8 (`:9`)
+  * SOFIA seasonal period m: sensor 144, taxi 7, others 168 (`:79-86`)
+
+When a .mat file is absent, loaders fall back to a seeded synthetic tensor of
+the dataset's published shape so the pipeline (and bench.py) runs end-to-end
+anywhere; the provenance of every load is reported.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable
+
+import jax
+import numpy as np
+
+from .synthetic import random_tritd, sparse_outliers
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetSpec:
+    name: str
+    kind: str                      # "traffic" | "video"
+    mat_variable: str              # variable inside the .mat file
+    shape: tuple[int, int, int]    # published/expected shape (synthetic fallback)
+    truncate_frames: int | None = None  # taxi: keep first 500 mode-3 slices
+    fctn_subdim: int = 8           # 4-way reshape factor for RC-FCTN
+    sofia_period: int = 168        # SOFIA seasonal period m
+
+
+# Shapes: traffic tensors follow the SOFIA/TriTD literature conventions for
+# these public datasets; video is CDnet2014 at 240x320 x 300 frames
+# (BASELINE.md: "300 consecutive CDnet2014 frames").
+DATASETS: dict[str, DatasetSpec] = {
+    "sensor": DatasetSpec("sensor", "traffic", "T", (54, 4, 1440), fctn_subdim=6, sofia_period=144),
+    "network": DatasetSpec("network", "traffic", "T", (23, 23, 2016), fctn_subdim=16, sofia_period=168),
+    "taxi": DatasetSpec("taxi", "traffic", "T", (100, 100, 500), truncate_frames=500, fctn_subdim=10, sofia_period=7),
+    "chicago": DatasetSpec("chicago", "traffic", "T", (77, 77, 2016), fctn_subdim=8, sofia_period=168),
+    "highway": DatasetSpec("highway", "video", "gray_images", (240, 320, 300), fctn_subdim=20),
+    "sofa": DatasetSpec("sofa", "video", "gray_images", (240, 320, 300), fctn_subdim=20),
+    "office": DatasetSpec("office", "video", "gray_images", (240, 320, 300), fctn_subdim=20),
+    "PETS2006": DatasetSpec("PETS2006", "video", "gray_images", (240, 320, 300), fctn_subdim=20),
+}
+
+DEFAULT_DATA_DIR = os.environ.get("TRITD_DATA_DIR", "data")
+
+
+def _load_mat_variable(path: str, variable: str) -> np.ndarray:
+    """Read one variable from a .mat file (scipy for <= v7, h5py for v7.3).
+    h5py transposes (MATLAB stores column-major) — corrected here."""
+    try:
+        import scipy.io as sio
+
+        mat = sio.loadmat(path)
+        if variable in mat:
+            return np.asarray(mat[variable])
+        candidates = [k for k in mat if not k.startswith("__")]
+        if len(candidates) == 1:
+            return np.asarray(mat[candidates[0]])
+        raise KeyError(f"{variable} not in {path}; has {candidates}")
+    except NotImplementedError:
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            key = variable if variable in f else list(f.keys())[0]
+            arr = np.asarray(f[key])
+        return arr.transpose(tuple(reversed(range(arr.ndim))))
+
+
+def _synthetic_fallback(spec: DatasetSpec) -> np.ndarray:
+    """Seeded stand-in with low-TriTD-rank structure + dataset-flavored
+    nonnegativity/scaling so solvers exercise realistic dynamics."""
+    key = jax.random.PRNGKey(abs(hash(spec.name)) % (2**31))
+    x, _ = random_tritd(key, spec.shape, rank=5, dtype=np.float32)
+    x = np.asarray(x)
+    if spec.kind == "video":
+        # grayscale-like: positive, [0, 255], plus sparse "moving object"
+        x = np.abs(x)
+        x = 255.0 * x / (x.max() + 1e-9)
+        fg = np.asarray(
+            sparse_outliers(jax.random.fold_in(key, 1), spec.shape, 0.01, 120.0)
+        )
+        x = np.clip(x + np.abs(fg), 0.0, 255.0)
+    else:
+        x = np.abs(x) * 50.0
+    return x.astype(np.float64)
+
+
+def load_dataset(
+    name: str, data_dir: str | None = None
+) -> tuple[np.ndarray, DatasetSpec, str]:
+    """Returns (tensor float64, spec, provenance) with provenance in
+    {"mat", "synthetic"}. Applies the driver's per-dataset preprocessing
+    (double cast, taxi truncation)."""
+    if name not in DATASETS:
+        raise KeyError(f"unknown dataset {name!r}; known: {sorted(DATASETS)}")
+    spec = DATASETS[name]
+    data_dir = data_dir or DEFAULT_DATA_DIR
+    path = os.path.join(data_dir, f"{name}.mat")
+    if os.path.exists(path):
+        x = _load_mat_variable(path, spec.mat_variable).astype(np.float64)
+        provenance = "mat"
+    else:
+        x = _synthetic_fallback(spec)
+        provenance = "synthetic"
+    if spec.truncate_frames is not None and x.shape[-1] > spec.truncate_frames:
+        x = x[..., : spec.truncate_frames]
+    return x, spec, provenance
+
+
+def load_groundtruth(
+    name: str, data_dir: str | None = None
+) -> np.ndarray | None:
+    """CDnet ground-truth label frames (<name>_gt.mat with labels 0/170/255),
+    if present — used by the foreground metrics."""
+    data_dir = data_dir or DEFAULT_DATA_DIR
+    path = os.path.join(data_dir, f"{name}_gt.mat")
+    if not os.path.exists(path):
+        return None
+    return _load_mat_variable(path, "groundtruth")

@@ -74,6 +74,47 @@ def gram_c(c: jnp.ndarray) -> jnp.ndarray:
 # ----------------------------------------------------------------------------
 
 
+def combine_grams(
+    mode: int,
+    ga: jnp.ndarray | None,
+    gb: jnp.ndarray | None,
+    gc: jnp.ndarray | None,
+    variant: str = "hadamard",
+) -> jnp.ndarray:
+    """Combine precomputed core Grams into the mode's normal-equation matrix.
+
+    Split out of :func:`gram_mode` so the sharded path can psum-reduce GramA
+    across mode-1 slabs before combining (O(r^4) words of collective traffic
+    per iteration — the north-star communication budget)."""
+    _check_variant(variant)
+    if variant == "hadamard":
+        if mode == 1:
+            return gb * gc
+        if mode == 2:
+            return ga * gc
+        if mode == 3:
+            return ga * gb
+        raise ValueError(f"mode must be 1, 2 or 3, got {mode}")
+    some = ga if ga is not None else gb
+    rr = some.shape[0]
+    r = int(round(rr**0.5))
+    ga4 = ga.reshape(r, r, r, r) if ga is not None else None  # [q,s,q',s']
+    gb4 = gb.reshape(r, r, r, r) if gb is not None else None  # [p,s,p',s']
+    gc4 = gc.reshape(r, r, r, r) if gc is not None else None  # [p,q,p',q']
+    if mode == 1:
+        # F F^T[(q,s),(q',s')] = sum_{p,p'} GB[p,s,p',s'] GC[p,q,p',q']
+        k = jnp.einsum("psPS,pqPQ->qsQS", gb4, gc4)
+    elif mode == 2:
+        # G G^T[(p,s),(p',s')] = sum_{q,q'} GA[q,s,q',s'] GC[p,q,p',q']
+        k = jnp.einsum("qsQS,pqPQ->psPS", ga4, gc4)
+    elif mode == 3:
+        # H H^T[(p,q),(p',q')] = sum_{s,s'} GA[q,s,q',s'] GB[p,s,p',s']
+        k = jnp.einsum("qsQS,psPS->pqPQ", ga4, gb4)
+    else:
+        raise ValueError(f"mode must be 1, 2 or 3, got {mode}")
+    return k.reshape(r * r, r * r)
+
+
 def gram_mode(
     mode: int,
     a: jnp.ndarray,
@@ -83,32 +124,10 @@ def gram_mode(
 ) -> jnp.ndarray:
     """K = F F^T (mode 1) / G G^T (mode 2) / H H^T (mode 3) without ever
     materializing the design matrix."""
-    _check_variant(variant)
-    r = a.shape[1]
-    if variant == "hadamard":
-        if mode == 1:
-            return gram_b(b) * gram_c(c)
-        if mode == 2:
-            return gram_a(a) * gram_c(c)
-        if mode == 3:
-            return gram_a(a) * gram_b(b)
-    else:
-        ga = gram_a(a).reshape(r, r, r, r)  # [q, s, q', s'] over A's pair axes
-        gb = gram_b(b).reshape(r, r, r, r)  # [p, s, p', s'] over B's pair axes
-        gc = gram_c(c).reshape(r, r, r, r)  # [p, q, p', q'] over C's pair axes
-        if mode == 1:
-            # F F^T[(q,s),(q',s')] = sum_{p,p'} GB[p,s,p',s'] GC[p,q,p',q']
-            k = jnp.einsum("psPS,pqPQ->qsQS", gb, gc)
-        elif mode == 2:
-            # G G^T[(p,s),(p',s')] = sum_{q,q'} GA[q,s,q',s'] GC[p,q,p',q']
-            k = jnp.einsum("qsQS,pqPQ->psPS", ga, gc)
-        elif mode == 3:
-            # H H^T[(p,q),(p',q')] = sum_{s,s'} GA[q,s,q',s'] GB[p,s,p',s']
-            k = jnp.einsum("qsQS,psPS->pqPQ", ga, gb)
-        else:
-            raise ValueError(f"mode must be 1, 2 or 3, got {mode}")
-        return k.reshape(r * r, r * r)
-    raise ValueError(f"mode must be 1, 2 or 3, got {mode}")
+    ga = gram_a(a) if mode in (2, 3) else None
+    gb = gram_b(b) if mode in (1, 3) else None
+    gc = gram_c(c) if mode in (1, 2) else None
+    return combine_grams(mode, ga, gb, gc, variant)
 
 
 def rhs_mode(
