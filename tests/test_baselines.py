@@ -1,0 +1,183 @@
+"""Baseline-suite tests: weight formulas against the MATLAB specs, and
+recovery behavior on small synthetic problems (data scaled to the O(100)
+dynamic range the reference methods' absolute thresholds assume)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tritd_tpu.baselines import (
+    balanced_bipartitions,
+    rc_fctn,
+    rtrc,
+    sofia_als,
+    sofia_init,
+    tt_trpca,
+    weight_fctn,
+    weight_tc,
+)
+from tritd_tpu.baselines.sofia import hw_fit, hw_forecast, hw_update
+from tritd_tpu.metrics.recon import rre
+
+
+def low_multilinear_tensor(key, shape, rank, scale=100.0):
+    """Random low-multilinear-rank tensor (low rank in every unfolding)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    core = jax.random.normal(k1, (rank,) * len(shape))
+    mats = [
+        jax.random.normal(k, (s, rank))
+        for k, s in zip([k2, k3, k4], shape)
+    ]
+    x = jnp.einsum("abc,ia,jb,tc->ijt", core, *mats)
+    return scale * x / jnp.sqrt(jnp.mean(x**2))
+
+
+def test_weight_tc_matches_matlab_spec():
+    # weightTC([3,4,5]): IL=3 -> min(3,20)=3; IL=12 -> min(12,5)=5; total 8
+    np.testing.assert_allclose(weight_tc((3, 4, 5)), [3 / 8, 5 / 8])
+
+
+def test_weight_fctn_and_orders():
+    orders = balanced_bipartitions(4)
+    assert orders == [(0, 1, 2, 3), (0, 2, 1, 3), (0, 3, 1, 2)]
+    w = weight_fctn((2, 3, 4, 5), orders)
+    # max(2*3, 4*5)=20, max(2*4, 3*5)=15, max(2*5, 3*4)=12 -> /47
+    np.testing.assert_allclose(w, [20 / 47, 15 / 47, 12 / 47])
+
+
+def test_tt_trpca_recovers_sparse_corruption(rng_key):
+    """With a lambda matched to the corruption scale, the sparse part
+    localizes the spikes and the low-rank part improves monotonically-ish.
+    (The driver's lambda=50 preset yields the reference's mediocre published
+    TTNN RREs of 0.3-0.56 — that regime is checked structurally below.)"""
+    x = low_multilinear_tensor(rng_key, (20, 21, 22), rank=3)
+    k2 = jax.random.fold_in(rng_key, 1)
+    hit = jax.random.bernoulli(k2, 0.05, x.shape)
+    spikes = jnp.where(hit, 200.0 * jnp.sign(jax.random.normal(k2, x.shape)), 0.0)
+    z, s, err_hist, n = tt_trpca(x + spikes, lam=5.0, origin=x, max_iter=100)
+    sv = np.asarray(s)[np.asarray(hit)]
+    tv = np.asarray(spikes)[np.asarray(hit)]
+    assert (np.sign(sv) == np.sign(tv)).mean() > 0.9
+    assert np.abs(sv).mean() > 100.0
+
+    # driver preset: still converging, finite, error halves from the start
+    z, s, err_hist, n = tt_trpca(x + spikes, origin=x, max_iter=100)
+    hist = np.asarray(err_hist)
+    assert np.isfinite(hist).all()
+    assert hist[-1] < 0.5 * hist[0]
+    assert hist[-1] < 0.6
+
+
+def test_rtrc_completes_missing(rng_key):
+    """With the video preset's mu=1e-3 (strong SVT shrinkage) RTRC achieves
+    near-exact completion of a low-multilinear-rank tensor."""
+    x = low_multilinear_tensor(rng_key, (18, 19, 20), rank=2)
+    mask = jax.random.bernoulli(jax.random.fold_in(rng_key, 2), 0.8, x.shape)
+    xh, y_sparse, err_hist, _ = rtrc(
+        jnp.where(mask, x, 0.0), mask, mu=1e-3, origin=x, max_iter=100
+    )
+    assert float(rre(xh, x)) < 1e-3
+    hist = np.asarray(err_hist)
+    assert hist[-1] < hist[0]
+
+    # traffic preset mu=1e-1: weakly regularized, still improves
+    xh, _, err_hist, _ = rtrc(
+        jnp.where(mask, x, 0.0), mask, mu=1e-1, origin=x, max_iter=100
+    )
+    hist = np.asarray(err_hist)
+    assert np.isfinite(hist).all()
+    assert hist[-1] < hist[0]
+
+
+def test_rc_fctn_runs_and_reduces_error(rng_key):
+    x = low_multilinear_tensor(rng_key, (8, 9, 20), rank=2)
+    x4 = x.reshape(8, 9, 4, 5)
+    ind = jnp.ones_like(x4)
+    xh, s, err_hist = rc_fctn(x4, lam=1.8, ind_obs=ind, origin=x4, f=0.7, max_iter=40)
+    hist = np.asarray(err_hist)
+    assert np.isfinite(hist).all()
+    assert hist[-1] < hist[0]
+    assert hist[-1] < 0.3
+
+
+def cp_tensor(key, shape, r, scale=10.0):
+    ks = jax.random.split(key, 3)
+    us = [jax.random.normal(k, (s, r)) for k, s in zip(ks, shape)]
+    x = jnp.einsum("ir,jr,tr->ijt", *us)
+    return scale * x / jnp.sqrt(jnp.mean(x**2))
+
+
+def seasonal_cp_tensor(key, shape, r, m, scale=10.0):
+    """CP tensor whose time factor is smooth + seasonal — the regime SOFIA's
+    temporal/seasonal regularizers are designed for (cf. its own
+    `make_synthetic.m` sinusoidal generator)."""
+    k1, k2 = jax.random.split(key)
+    u1 = jax.random.normal(k1, (shape[0], r))
+    u2 = jax.random.normal(k2, (shape[1], r))
+    t = jnp.arange(shape[2], dtype=jnp.float32)
+    u3 = jnp.stack(
+        [jnp.sin(2 * jnp.pi * t / m + 0.7 * c) + 1.5 for c in range(r)], axis=1
+    )
+    x = jnp.einsum("ir,jr,tr->ijt", u1, u2, u3)
+    return scale * x / jnp.sqrt(jnp.mean(x**2))
+
+
+def test_sofia_als_fits_masked_cp(rng_key):
+    m = 10
+    x = seasonal_cp_tensor(rng_key, (12, 13, 40), r=2, m=m)
+    omega = jax.random.bernoulli(jax.random.fold_in(rng_key, 3), 0.85, x.shape)
+    key = jax.random.fold_in(rng_key, 4)
+    u0 = [
+        jax.random.uniform(jax.random.fold_in(key, i), (s, 2))
+        for i, s in enumerate(x.shape)
+    ]
+    u1, u2, u3, x_hat = sofia_als(x, omega, 2, m=m, lam1=0.1, lam2=0.001,
+                                  u_init=u0, max_iters=150)
+    masked_err = float(
+        jnp.linalg.norm(jnp.where(omega, x - x_hat, 0.0).ravel())
+        / jnp.linalg.norm(jnp.where(omega, x, 0.0).ravel())
+    )
+    assert masked_err < 0.2
+
+    # with the regularizers off, masked ALS is exact on noiseless CP data
+    u1, u2, u3, x_hat = sofia_als(x, omega, 2, m=m, lam1=0.0, lam2=0.0,
+                                  u_init=u0, max_iters=300, fitchangetol=0.0)
+    exact_err = float(
+        jnp.linalg.norm(jnp.where(omega, x - x_hat, 0.0).ravel())
+        / jnp.linalg.norm(jnp.where(omega, x, 0.0).ravel())
+    )
+    assert exact_err < 1e-4
+
+
+def test_sofia_init_peels_outliers(rng_key):
+    """On seasonal CP data + spikes, the annealed outlier peel isolates the
+    spikes and the oracle RRE drops well below the corrupted level. (On
+    non-smooth data the anneal degenerates — exactly the regime behind the
+    reference's published network RRE of 0.963.)"""
+    x = seasonal_cp_tensor(rng_key, (10, 11, 30), r=2, m=10)
+    k2 = jax.random.fold_in(rng_key, 5)
+    spikes = jnp.where(jax.random.bernoulli(k2, 0.05, x.shape), 30.0, 0.0)
+    omega = jnp.ones(x.shape, bool)
+    _, x_hat, o, err_hist = sofia_init(
+        x + spikes, omega, r=2, m=10, lam3=10.0, origin=x, max_epoch=25
+    )
+    assert err_hist[-1] < err_hist[0]
+    assert err_hist[-1] < 0.08
+    # every injected spike shows up in the recovered outlier tensor
+    assert float(jnp.sum((o > 5.0) & (spikes > 0))) == float(jnp.sum(spikes > 0))
+
+
+def test_hw_fit_forecast_update_roundtrip():
+    m = 6
+    t = np.arange(48, dtype=np.float64)
+    season = np.sin(2 * np.pi * t / m)
+    y = (0.5 * t + 3.0 + 2.0 * season)[:, None]
+    _, ls, bs, ss, fs = hw_fit(y, m)
+    fc = hw_forecast(ls, bs, ss, m, h=3)
+    truth = 0.5 * (t[-1] + np.arange(1, 4)) + 3.0 + 2.0 * np.sin(
+        2 * np.pi * (t[-1] + np.arange(1, 4)) / m
+    )
+    np.testing.assert_allclose(fc[:, 0], truth, atol=1.5)
+    ls2, bs2, ss2 = hw_update(fc[0], ls, bs, ss, fs, m)
+    assert ls2.shape[0] == ls.shape[0] + 1

@@ -1,1 +1,31 @@
-"""baselines subpackage of tritd_tpu."""
+"""Comparison baseline suite (L2 of SURVEY §1): JAX reimplementations of the
+four vendored methods the reference benchmarks against."""
+
+from .ttnn import tt_trpca, weight_tc
+from .rtrc import rtrc, freedom_ratio
+from .rc_fctn import (
+    rc_fctn,
+    rc_fctn_driver_traffic,
+    rc_fctn_driver_video,
+    balanced_bipartitions,
+    weight_fctn,
+)
+from .sofia import sofia_als, sofia_init, sofia_stream, hw_fit, hw_forecast, hw_update
+
+__all__ = [
+    "tt_trpca",
+    "weight_tc",
+    "rtrc",
+    "freedom_ratio",
+    "rc_fctn",
+    "rc_fctn_driver_traffic",
+    "rc_fctn_driver_video",
+    "balanced_bipartitions",
+    "weight_fctn",
+    "sofia_als",
+    "sofia_init",
+    "sofia_stream",
+    "hw_fit",
+    "hw_forecast",
+    "hw_update",
+]

@@ -1,0 +1,437 @@
+"""SOFIA (ICDE'21) — streaming robust CP factorization with seasonal patterns.
+
+Reference: `other_methods/sofia/{sofia_init,sofia_als,sofia}.m` plus the
+Holt-Winters helpers `hw_add_add_{fit,forecast,update}.m`, `huber.m`,
+`biweight.m`, `thres_soft.m`.
+
+Three phases:
+  1. **sofia_als** (`sofia_als.m:51-140`): masked CP-ALS with per-row ridge
+     systems. Modes 1-2 are embarrassingly row-parallel — the reference's
+     per-row loops with pinv on observed-column Grams (`:55-68`) vectorize
+     into one masked-Gram einsum + a batched pinv. Mode 3 is GAUSS-SEIDEL in
+     the time index (the reference updates U3 rows in place, so row t sees
+     the NEW t-1/t-m and the OLD t+1/t+m) with temporal (lambda1) and
+     seasonal (lambda2) Tikhonov coupling (`:100-122`) — replicated exactly
+     with a `lax.scan` over time.
+  2. **sofia_init** (`sofia_init.m:60-101`): outer loop of ALS + outlier
+     peel O = soft(Y - X, lambda3) with lambda3 annealed 0.85x, floored at
+     lambda3/100 (`:68-71`).
+  3. **sofia (streaming)** (`sofia.m:89-130`): per time step, forecast the
+     time factor by additive Holt-Winters, Huber-clean the residual, scaled
+     SGD on all factors, update the HW state. The HW fitting
+     (`hw_add_add_fit.m:77-90`) replaces MATLAB's fmincon/BFGS with
+     scipy L-BFGS-B on the identical SSE objective and bounds. The streaming
+     phase is inherently sequential host-side state; it runs in numpy.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.shrinkage import soft_threshold
+
+
+def _normalize_into_last(us: list, eps: float = 1e-30):
+    """Push column norms of the non-temporal factors into the last factor
+    (`sofia_als.m:33-38`)."""
+    *front, last = us
+    out = []
+    for u in front:
+        w = jnp.sqrt(jnp.sum(u**2, axis=0))
+        out.append(u / (w + eps))
+        last = last * w
+    return out + [last]
+
+
+def _masked_row_systems(y, omega, wkr):
+    """For each row i of the mode: rhs[i] = sum_obs y * w, gram[i] =
+    sum_obs w w^T where wkr is the (n_a, n_b, R) khatri-rao of the other two
+    factors and y/omega are transposed so the solved mode is axis 0."""
+    rhs = jnp.einsum("iab,abr->ir", y, wkr, optimize="optimal")
+    gram = jnp.einsum(
+        "iab,abr,abR->irR", omega, wkr, wkr, optimize="optimal"
+    )
+    return rhs, gram
+
+
+def _pinv_rows(rhs, gram):
+    """row_i <- rhs_i @ pinv(gram_i) (the reference's per-row pinv solve)."""
+    return jax.vmap(lambda r, g: r @ jnp.linalg.pinv(g))(rhs, gram)
+
+
+def _mode3_gauss_seidel(u3, rhs_base, gram_base, lam1, lam2, m):
+    """Sequential time-mode update with temporal/seasonal Tikhonov coupling
+    (`sofia_als.m:100-122`). Row t uses updated rows t-1, t-m and old rows
+    t+1, t+m."""
+    n3, r = u3.shape
+    eye = jnp.eye(r, dtype=u3.dtype)
+
+    def step(u3_arr, t):
+        rhs = rhs_base[t]
+        gram = gram_base[t]
+        has_prev = t > 0
+        has_next = t < n3 - 1
+        prev_row = u3_arr[jnp.clip(t - 1, 0, n3 - 1)]
+        next_row = u3_arr[jnp.clip(t + 1, 0, n3 - 1)]
+        rhs = rhs + lam1 * (
+            jnp.where(has_prev, 1.0, 0.0) * prev_row
+            + jnp.where(has_next, 1.0, 0.0) * next_row
+        )
+        gram = gram + lam1 * (
+            jnp.where(has_prev, 1.0, 0.0) + jnp.where(has_next, 1.0, 0.0)
+        ) * eye
+        # seasonal: t < m -> only +m; m <= t <= n3-m-1 -> both; else only -m
+        use_fwd = t < n3 - m
+        use_bwd = t >= m
+        fwd_row = u3_arr[jnp.clip(t + m, 0, n3 - 1)]
+        bwd_row = u3_arr[jnp.clip(t - m, 0, n3 - 1)]
+        rhs = rhs + lam2 * (
+            jnp.where(use_fwd, 1.0, 0.0) * fwd_row
+            + jnp.where(use_bwd, 1.0, 0.0) * bwd_row
+        )
+        gram = gram + lam2 * (
+            jnp.where(use_fwd, 1.0, 0.0) + jnp.where(use_bwd, 1.0, 0.0)
+        ) * eye
+        row = rhs @ jnp.linalg.pinv(gram)
+        return u3_arr.at[t].set(row), None
+
+    u3, _ = jax.lax.scan(step, u3, jnp.arange(n3))
+    return u3
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "lam1", "lam2", "max_iters", "fitchangetol")
+)
+def _sofia_als_run(y, omega, u1, u2, u3, m, lam1, lam2, max_iters, fitchangetol):
+    y = jnp.where(omega, y, 0.0)
+    omega_f = omega.astype(y.dtype)
+    norm_y = jnp.linalg.norm(y.ravel())
+    u1, u2, u3 = _normalize_into_last([u1, u2, u3])
+
+    def recon(u1, u2, u3):
+        return jnp.einsum("ir,jr,tr->ijt", u1, u2, u3, optimize="optimal")
+
+    fit0 = 1.0 - jnp.linalg.norm((omega_f * (y - recon(u1, u2, u3))).ravel()) / norm_y
+
+    def cond(carry):
+        *_, it, done = carry
+        return (it < max_iters) & ~done
+
+    def body(carry):
+        u1, u2, u3, fit, it, done = carry
+        # Mode 1
+        w23 = jnp.einsum("jr,tr->jtr", u2, u3)
+        rhs, gram = _masked_row_systems(y, omega_f, w23)
+        u1 = _pinv_rows(rhs, gram)
+        u1, u3 = (lambda us: (us[0], us[1]))(_normalize_into_last([u1, u3]))
+        # Mode 2
+        w13 = jnp.einsum("ir,tr->itr", u1, u3)
+        rhs, gram = _masked_row_systems(jnp.swapaxes(y, 0, 1), jnp.swapaxes(omega_f, 0, 1), w13)
+        u2 = _pinv_rows(rhs, gram)
+        u2, u3 = (lambda us: (us[0], us[1]))(_normalize_into_last([u2, u3]))
+        # Mode 3 (temporal, Gauss-Seidel)
+        w12 = jnp.einsum("ir,jr->ijr", u1, u2)
+        yt = jnp.moveaxis(y, 2, 0)
+        ot = jnp.moveaxis(omega_f, 2, 0)
+        rhs_base, gram_base = _masked_row_systems(yt, ot, w12)
+        u3 = _mode3_gauss_seidel(u3, rhs_base, gram_base, lam1, lam2, m)
+
+        fit_new = (
+            1.0
+            - jnp.linalg.norm((omega_f * (y - recon(u1, u2, u3))).ravel()) / norm_y
+        )
+        done = (it >= 1) & (jnp.abs(fit - fit_new) < fitchangetol)
+        return (u1, u2, u3, fit_new, it + 1, done)
+
+    u1, u2, u3, fit, it, _ = jax.lax.while_loop(
+        cond, body, (u1, u2, u3, fit0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    )
+    return u1, u2, u3, recon(u1, u2, u3)
+
+
+def sofia_als(
+    y, omega, r, m, lam1, lam2, u_init, max_iters=300, fitchangetol=1e-3
+):
+    """One masked smoothed CP-ALS solve. u_init = (u1, u2, u3)."""
+    u1, u2, u3 = u_init
+    return _sofia_als_run(
+        jnp.asarray(y), jnp.asarray(omega), u1, u2, u3,
+        int(m), float(lam1), float(lam2), int(max_iters), float(fitchangetol),
+    )
+
+
+def sofia_init(
+    y,
+    omega,
+    r: int = 3,
+    m: int = 168,
+    lam1: float = 0.1,
+    lam2: float = 0.001,
+    lam3: float = 10.0,
+    origin=None,
+    max_epoch: int = 100,
+    tol: float = 1e-5,
+    als_max_iters: int = 300,
+    key=None,
+):
+    """Batch initialization (`sofia_init.m:60-101`).
+
+    Returns (U=(u1,u2,u3), X_hat, O, errHist vs origin). omega True=observed.
+    Factor init is uniform [0, 1) (`rand`, `sofia_init.m:46`)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    y = jnp.asarray(y, jnp.float32)
+    omega = jnp.asarray(omega, bool)
+    shape = y.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    u1 = jax.random.uniform(k1, (shape[0], r), y.dtype)
+    u2 = jax.random.uniform(k2, (shape[1], r), y.dtype)
+    u3 = jax.random.uniform(k3, (shape[2], r), y.dtype)
+
+    o = jnp.zeros(shape, y.dtype)
+    x = jnp.zeros(shape, y.dtype)
+    lam3_init = lam3
+    err_hist = []
+    norm_origin = (
+        float(jnp.linalg.norm(jnp.asarray(origin).ravel()))
+        if origin is not None
+        else 1.0
+    )
+    norm_x_pre = 0.0
+    for epoch in range(max_epoch):
+        x_pre = x
+        u1, u2, u3, x = sofia_als(
+            y - o, omega, r, m, lam1, lam2, (u1, u2, u3), als_max_iters
+        )
+        o = soft_threshold(y - x, lam3)
+        lam3 = max(lam3 * 0.85, lam3_init / 100.0)
+        if origin is not None:
+            err_hist.append(
+                float(jnp.linalg.norm((jnp.asarray(origin) - x).ravel()))
+                / norm_origin
+            )
+        if epoch > 0:
+            rel = float(jnp.linalg.norm((x_pre - x).ravel())) / max(
+                norm_x_pre, 1e-30
+            )
+            if rel < tol:
+                norm_x_pre = float(jnp.linalg.norm(x.ravel()))
+                break
+        norm_x_pre = float(jnp.linalg.norm(x.ravel()))
+    return (u1, u2, u3), x, o, np.asarray(err_hist)
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters (additive/additive) — host-side numpy + scipy L-BFGS-B
+# ---------------------------------------------------------------------------
+
+
+def _hw_init_values(w: np.ndarray, m: int):
+    """`hw_add_add_init_values`: l0 from every-m samples, b0 from first two
+    cycles, s0 from the first cycle."""
+    l0 = float(np.mean(w[0::m]))
+    b0 = float(np.mean((w[m : 2 * m] - w[:m]) / m))
+    s0 = w[:m] - l0
+    return l0, b0, s0
+
+
+def _hw_sse(x: np.ndarray, y: np.ndarray, m: int, max_fval: float) -> float:
+    """`hw_add_add_sse_fun`: SSE of the one-step-ahead HW recursion, with the
+    reference's soft constraints (alpha*beta != 0, beta <= alpha,
+    gamma <= 1 - alpha)."""
+    alpha, beta, gamma = x[0], x[1], x[2]
+    if alpha * beta == 0:
+        return max_fval
+    if beta > alpha or gamma > 1 - alpha:
+        return max_fval
+    n = len(y)
+    l = np.zeros(n)
+    b = np.zeros(n)
+    s = np.zeros(n + m - 1)
+    l[0], b[0] = x[3], x[4]
+    s[:m] = x[5:]
+    ac, bc, gc = 1 - alpha, 1 - beta, 1 - gamma
+    for i in range(1, n):
+        l[i] = alpha * y[i - 1] - alpha * s[i - 1] + ac * (l[i - 1] + b[i - 1])
+        b[i] = beta * (l[i] - l[i - 1]) + bc * b[i - 1]
+        s[i + m - 1] = gamma * y[i - 1] - gamma * (l[i - 1] + b[i - 1]) + gc * s[i - 1]
+    resid = (l + b + s[:n]) - y
+    return float(resid @ resid)
+
+
+def _hw_predict(x: np.ndarray, y: np.ndarray, m: int):
+    """`hw_add_add_predict`: run the recursion one step past the data."""
+    alpha, beta, gamma = x[0], x[1], x[2]
+    n = len(y)
+    l = np.zeros(n + 1)
+    b = np.zeros(n + 1)
+    s = np.zeros(n + m)
+    l[0], b[0] = x[3], x[4]
+    s[:m] = x[5:]
+    ac, bc, gc = 1 - alpha, 1 - beta, 1 - gamma
+    for i in range(1, n + 1):
+        l[i] = alpha * y[i - 1] - alpha * s[i - 1] + ac * (l[i - 1] + b[i - 1])
+        b[i] = beta * (l[i] - l[i - 1]) + bc * b[i - 1]
+        s[i + m - 1] = gamma * y[i - 1] - gamma * (l[i - 1] + b[i - 1]) + gc * s[i - 1]
+    y_hat = l[:n] + b[:n] + s[:n]
+    return y_hat, l[1:], b[1:], s[m:]
+
+
+def hw_fit(w: np.ndarray, m: int):
+    """`hw_add_add_fit`: per-column HW parameter fit. Returns
+    (y_hat, L, B, S, F) with L/B/S the state trajectories and F the (3, R)
+    smoothing factors. L-BFGS-B stands in for fmincon/BFGS."""
+    from scipy.optimize import minimize
+
+    w = np.asarray(w, np.float64)
+    n, r = w.shape
+    y_hat = np.zeros_like(w)
+    ls = np.zeros_like(w)
+    bs = np.zeros_like(w)
+    ss = np.zeros_like(w)
+    fs = np.zeros((3, r))
+    max_fval = 1e30
+    for c in range(r):
+        y = w[:, c]
+        l0, b0, s0 = _hw_init_values(y, m)
+        alpha0 = 0.5 / m
+        x0 = np.concatenate(
+            [[alpha0, 0.1 * alpha0, 0.05 * (1 - alpha0), l0, b0], s0]
+        )
+        bounds = (
+            [(0.0, 1.0)] * 3 + [(None, None)] * 2 + [(None, None)] * m
+        )
+        res = minimize(
+            _hw_sse, x0, args=(y, m, max_fval), method="L-BFGS-B",
+            bounds=bounds, options={"maxiter": 200},
+        )
+        x = res.x if np.isfinite(res.fun) else x0
+        fs[:, c] = x[:3]
+        y_hat[:, c], ls[:, c], bs[:, c], ss[:, c] = _hw_predict(x, y, m)
+    return y_hat, ls, bs, ss, fs
+
+
+def hw_forecast(ls, bs, ss, m: int, h: int = 1) -> np.ndarray:
+    """`hw_add_add_forecast`: h-step-ahead forecast from the state tails."""
+    r = ls.shape[1]
+    out = np.zeros((h, r))
+    for t in range(1, h + 1):
+        out[t - 1] = ls[-1] + t * bs[-1] + ss[-m + ((t - 1) % m)]
+    return out
+
+
+def hw_update(y_new: np.ndarray, ls, bs, ss, fs, m: int):
+    """`hw_add_add_update`: append HW state rows for new observations."""
+    alpha, beta, gamma = fs[0], fs[1], fs[2]
+    ac, bc, gc = 1 - alpha, 1 - beta, 1 - gamma
+    y_new = np.atleast_2d(y_new)
+    for t in range(y_new.shape[0]):
+        l_new = alpha * y_new[t] - alpha * ss[-m] + ac * (ls[-1] + bs[-1])
+        b_new = beta * (l_new - ls[-1]) + bc * bs[-1]
+        s_new = gamma * y_new[t] - gamma * (ls[-1] + bs[-1]) + gc * ss[-m]
+        ls = np.vstack([ls, l_new])
+        bs = np.vstack([bs, b_new])
+        ss = np.vstack([ss, s_new])
+    return ls, bs, ss
+
+
+def _huber(x: np.ndarray, k: float = 2.0) -> np.ndarray:
+    return np.clip(x, -k, k)
+
+
+def _biweight(x: np.ndarray, k: float = 4.685) -> np.ndarray:
+    inside = np.abs(x) <= k
+    return np.where(inside, x * (1.0 - (x / k) ** 2) ** 2, 0.0)
+
+
+def sofia_stream(
+    y,
+    omega,
+    r: int = 3,
+    m: int = 168,
+    cycles: int = 3,
+    lam1: float = 0.1,
+    lam2: float = 0.001,
+    lam3: float = 10.0,
+    mu: float = 0.1,
+    phi: float = 0.05,
+    max_epoch: int = 100,
+    tol: float = 1e-3,
+    need_outlier: bool = True,
+    key=None,
+):
+    """Streaming SOFIA (`sofia.m`): batch init on the first m*cycles frames,
+    HW fit, then per-step forecast / Huber-clean / scaled-SGD / HW-update.
+
+    Returns (U=(u1,u2), W, X_hat, O)."""
+    y = np.asarray(y, np.float64)
+    omega_np = np.asarray(omega, bool)
+    y = np.where(omega_np, y, 0.0)
+    n1, n2, ntimes = y.shape
+    ti = m * cycles
+
+    (u1, u2, u3), x_init, o_init, _ = sofia_init(
+        y[:, :, :ti], omega_np[:, :, :ti], r, m, lam1, lam2, lam3,
+        max_epoch=max_epoch, tol=tol, key=key,
+    )
+    u1 = np.asarray(u1, np.float64)
+    u2 = np.asarray(u2, np.float64)
+    w_init = np.asarray(u3, np.float64)
+    for n, u in enumerate((u1, u2)):
+        wts = np.sqrt(np.sum(u**2, axis=0))
+        u /= wts + 1e-30
+        w_init = w_init * wts
+
+    w = np.zeros((ntimes, r))
+    w[:ti] = w_init
+    x_hat = np.zeros_like(y)
+    x_hat[:, :, :ti] = np.asarray(x_init)
+    o = np.zeros_like(y) if need_outlier else None
+    if need_outlier:
+        o[:, :, :ti] = np.asarray(o_init)
+
+    _, ls, bs, ss, fs = hw_fit(w_init, m)
+    sigma = 0.1 * np.ones((n1, n2))
+
+    for t in range(ti, ntimes):
+        yt = y[:, :, t]
+        omt = omega_np[:, :, t].astype(np.float64)
+        ut = hw_forecast(ls, bs, ss, m, 1)[0]  # forecast time-factor row
+        yt_hat = u1 @ np.diag(ut) @ u2.T
+        rt = yt - yt_hat
+        crt = _huber(rt / sigma) * sigma  # cleaned residuals
+        # sigma update (`sofia.m:sigma_update`)
+        rho = _biweight(rt / sigma)
+        new = np.sqrt(phi * rho * sigma**2 + (1 - phi) * sigma**2)
+        sigma = omt * new + (1 - omt) * sigma
+        crt = omt * crt
+
+        g1 = crt @ u2 @ np.diag(ut)
+        g2 = crt.T @ u1 @ np.diag(ut)
+        khatri = np.einsum("ir,jr->ijr", u1, u2).reshape(-1, r)
+        g3 = crt.reshape(1, -1) @ khatri
+        g3 = g3[0] + lam1 * (w[t - 1] - ut) + lam2 * (w[t - m] - ut)
+
+        us = [u1, u2, ut]
+        gs = [g1, g2, g3]
+        for n in range(3):
+            gn = gs[n]
+            scale = min(1.0, mu * np.sqrt(r) / (np.linalg.norm(gn) + 1e-30))
+            us[n] = us[n] + mu * gn * scale
+        u1, u2, ut = us
+        for n, u in enumerate((u1, u2)):
+            wts = np.sqrt(np.sum(u**2, axis=0))
+            u /= wts + 1e-30
+            ut = ut * wts
+
+        ls, bs, ss = hw_update(ut, ls, bs, ss, fs, m)
+        w[t] = ut
+        x_hat[:, :, t] = np.einsum("ir,jr,r->ij", u1, u2, ut)
+        if need_outlier:
+            o[:, :, t] = yt - (yt_hat + crt)
+
+    return (u1, u2), w, x_hat, o
