@@ -92,7 +92,12 @@ def graythresh_matlab_double(img: np.ndarray) -> float:
     with np.errstate(divide="ignore", invalid="ignore"):
         sigma_b = (mu_t * omega - mu) ** 2 / denom
     sigma_b[~np.isfinite(sigma_b)] = 0.0
-    return float(np.argmax(sigma_b)) / 255.0
+    # MATLAB tie-break: mean of all maximizing bins (graythresh semantics)
+    maxval = sigma_b.max()
+    if maxval <= 0:
+        return 0.0
+    idx = np.flatnonzero(sigma_b == maxval)
+    return float(idx.mean()) / 255.0
 
 
 def average_precision(labels: np.ndarray, scores: np.ndarray) -> float:

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 
 from ..ops import designs, normal_eq
 from ..ops.fold import core_a_from_mat, core_b_from_mat, core_c_from_mat
-from ..ops.shrinkage import soft_threshold
+from ..ops.pallas_kernels import elementwise_block
 from .base import TriTDConfig, TriTDResult, TriTDState
 
 
@@ -111,22 +111,19 @@ def admm_iteration(
     a, b, c = update_factors(t, a, b, c, cfg)
     l = designs.triple_product(a, b, c, variant=cfg.variant)
 
-    # 2) O averaging, 3) E shrinkage, 4) dual ascent  (elementwise block)
-    r1 = d - l + y_l / mu_l
-    r2 = e - y_o / mu_o
-    o = (mu_l * r1 + mu_o * r2) / (mu_l + mu_o)
-    e = soft_threshold(o + y_o / mu_o, cfg.lambda_l1 / mu_o)
-    res_l = d - l - o
-    res_o = o - e
-    y_l = y_l + mu_l * res_l
-    y_o = y_o + mu_o * res_o
+    # 2) O averaging, 3) E shrinkage, 4) dual ascent + residual norms,
+    # fused into one HBM pass on TPU (ops/pallas_kernels.py)
+    use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
+    o, e, y_l, y_o, sq_l, sq_o = elementwise_block(
+        d, l, e, y_l, y_o, mu_l, mu_o, cfg.lambda_l1, use_pallas=use_pallas
+    )
 
     # 5) penalty annealing with the mu*1e6 cap (`:55-57`)
     mu_cap = jnp.asarray(cfg.mu * cfg.mu_cap_factor, mu_l.dtype)
     mu_l = jnp.minimum(mu_l * cfg.rho, mu_cap)
     mu_o = jnp.minimum(mu_o * cfg.rho, mu_cap)
 
-    err = (jnp.linalg.norm(res_l.ravel()) + jnp.linalg.norm(res_o.ravel())) / norm_d
+    err = (jnp.sqrt(sq_l) + jnp.sqrt(sq_o)) / norm_d
     err_hist = state.err_hist.at[k].set(err)
 
     if origin is not None:
