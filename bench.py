@@ -38,18 +38,22 @@ def main() -> None:
     mask = uniform_missing_mask(key, x.shape, README_MISSING_RATIO)
     y = jnp.where(mask, x, 0.0)
 
+    import numpy as np
+
     cfg = COMPLETION_TRITD
     run = lambda: tritd_admm(y, cfg, key=key)
 
-    # warm-up (compile) — the reference protocol times the solve, not compile
+    # warm-up (compile) — the reference protocol times the solve, not compile.
+    # Timing must FETCH results to host: through the axon TPU tunnel,
+    # block_until_ready alone does not synchronize with device completion.
     res = run()
-    res.err_hist.block_until_ready()
+    np.asarray(res.err_hist)
 
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         res = run()
-        res.err_hist.block_until_ready()
+        np.asarray(res.err_hist)
         best = min(best, time.perf_counter() - t0)
 
     x_hat = triple_product(res.a, res.b, res.c)

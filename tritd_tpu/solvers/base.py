@@ -36,7 +36,9 @@ class TriTDConfig:
                                     # L + O each iteration (extension; the
                                     # reference's triple_ADMM_masked is
                                     # absent — `traffic_triple_comparison.m:53`)
-    use_pallas: bool = True         # fused elementwise update kernel on TPU
+    use_pallas: bool = False        # optional Pallas elementwise kernel; XLA's
+                                    # own fusion already runs this block at
+                                    # ~80% of HBM peak (see ops/pallas_kernels)
 
     def jnp_dtype(self):
         return jnp.dtype(self.dtype)
