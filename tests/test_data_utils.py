@@ -1,0 +1,176 @@
+"""Data loaders, synthetic protocol fixtures, artifacts, checkpointing,
+figures, and CLI smoke tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tritd_tpu.data import (
+    DATASETS,
+    load_dataset,
+    make_completion_problem,
+    uniform_missing_mask,
+)
+from tritd_tpu.solvers import TriTDConfig, tritd_admm, init_state
+from tritd_tpu.utils import artifacts, checkpoint
+from tritd_tpu.utils.config import COMPLETION_TRITD, VIDEO_TRITD
+
+
+def test_uniform_mask_exact_count(rng_key):
+    mask = uniform_missing_mask(rng_key, (10, 10, 10), 0.15)
+    assert int((~mask).sum()) == 150  # exactly round(0.15*1000), like randperm
+
+
+def test_completion_problem_protocol(rng_key):
+    prob = make_completion_problem(
+        rng_key, (12, 13, 14), rank=2, missing_ratio=0.2, outlier_density=0.05
+    )
+    # zero-fill at missing entries
+    assert float(jnp.abs(jnp.where(~prob["mask"], prob["y"], 0.0)).max()) == 0.0
+    obs = prob["mask"]
+    np.testing.assert_allclose(
+        np.asarray(prob["y"])[np.asarray(obs)],
+        np.asarray(prob["x"] + prob["outliers"])[np.asarray(obs)],
+        rtol=1e-5,
+    )
+
+
+def test_dataset_registry_constants():
+    """Driver constants captured per SURVEY: taxi truncation + per-dataset
+    FCTN subdims + SOFIA periods (`traffic_triple_comparison.m:9,24,79-86`)."""
+    assert DATASETS["taxi"].truncate_frames == 500
+    assert DATASETS["sensor"].fctn_subdim == 6
+    assert DATASETS["network"].fctn_subdim == 16
+    assert DATASETS["taxi"].fctn_subdim == 10
+    assert DATASETS["chicago"].fctn_subdim == 8
+    assert DATASETS["sensor"].sofia_period == 144
+    assert DATASETS["taxi"].sofia_period == 7
+
+
+def test_load_dataset_synthetic_fallback(tmp_path):
+    x, spec, provenance = load_dataset("sensor", str(tmp_path))
+    assert provenance == "synthetic"
+    assert x.shape == spec.shape
+    assert x.dtype == np.float64
+
+
+def test_load_dataset_mat(tmp_path):
+    import scipy.io as sio
+
+    t = np.random.default_rng(0).normal(size=(6, 7, 8))
+    sio.savemat(os.path.join(tmp_path, "sensor.mat"), {"T": t})
+    x, spec, provenance = load_dataset("sensor", str(tmp_path))
+    assert provenance == "mat"
+    np.testing.assert_allclose(x, t)
+
+
+def test_load_dataset_taxi_truncation(tmp_path):
+    import scipy.io as sio
+
+    t = np.zeros((4, 4, 600))
+    sio.savemat(os.path.join(tmp_path, "taxi.mat"), {"T": t})
+    x, _, _ = load_dataset("taxi", str(tmp_path))
+    assert x.shape == (4, 4, 500)
+
+
+def test_artifact_roundtrip(tmp_path):
+    hist = np.arange(5.0)
+    artifacts.save_artifact(str(tmp_path), "sensor", "triple", "errHist", hist)
+    got = artifacts.load_artifact(str(tmp_path), "sensor", "triple", "errHist")
+    np.testing.assert_allclose(got, hist)
+    path = artifacts.artifact_path(str(tmp_path), "sensor", "triple", "errHist")
+    assert path.endswith("sensor_triple_errHist.npz")
+
+
+def test_checkpoint_roundtrip(tmp_path, rng_key):
+    d = jax.random.normal(rng_key, (6, 7, 8))
+    cfg = TriTDConfig(rank=2, max_iter=10)
+    state = init_state(d, cfg, rng_key)
+    path = checkpoint.save_state(str(tmp_path / "state.npz"), state)
+    loaded = checkpoint.load_state(path)
+    for name in state._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(loaded, name)), np.asarray(getattr(state, name))
+        )
+
+
+def test_checkpoint_manager(tmp_path, rng_key):
+    d = jax.random.normal(rng_key, (6, 7, 8))
+    cfg = TriTDConfig(rank=2, max_iter=10)
+    state = init_state(d, cfg, rng_key)
+    mgr = checkpoint.CheckpointManager(str(tmp_path), every=2)
+    assert mgr.maybe_save(state) is None  # k=0
+    state = state._replace(k=jnp.asarray(2, jnp.int32))
+    assert mgr.maybe_save(state) is not None
+    assert mgr.latest().endswith("step_000002.npz")
+
+
+def test_presets_match_reference_constants():
+    assert COMPLETION_TRITD.mu == 1e-3
+    assert COMPLETION_TRITD.rho == 1.25
+    assert COMPLETION_TRITD.lambda_l1 == 1.8
+    assert COMPLETION_TRITD.lambda2 == 1e-3
+    assert VIDEO_TRITD.mu == 1e-2
+    assert VIDEO_TRITD.rho == 1.2
+    assert VIDEO_TRITD.lambda2 == 1e-2
+
+
+def test_figures_grid_and_video(tmp_path, rng_key):
+    from tritd_tpu.cli.figures import foreground_grid, mat2gray, tensor2video
+
+    x = np.abs(np.asarray(jax.random.normal(rng_key, (16, 20, 4)))) * 100
+    artifacts.save_raw(str(tmp_path), "highway", x)
+    artifacts.save_artifact(str(tmp_path), "highway", "triple", "Xhat", x)
+    fig = foreground_grid(
+        str(tmp_path), datasets=("highway",), methods=("Observed", "triple"),
+        frame_ids=(2,), save_path=str(tmp_path / "grid.png"),
+    )
+    assert os.path.exists(tmp_path / "grid.png")
+    g = mat2gray(x)
+    assert g.min() == 0.0 and g.max() == 1.0
+    out = tensor2video(x, str(tmp_path / "vid.gif"))
+    assert os.path.exists(out)
+
+
+def test_cli_completion_smoke(tmp_path, monkeypatch, rng_key):
+    """End-to-end driver smoke: tiny synthetic dataset through the CLI."""
+    import scipy.io as sio
+
+    from tritd_tpu.cli import run_completion
+
+    t = np.asarray(
+        jax.random.normal(rng_key, (8, 9, 10))
+    ) * 10
+    sio.savemat(os.path.join(tmp_path, "sensor.mat"), {"T": t})
+    rows = run_completion.main([
+        "--datasets", "sensor", "--methods", "triple", "--max-iter", "10",
+        "--data-dir", str(tmp_path), "--out-dir", str(tmp_path / "results"),
+    ])
+    assert len(rows) == 1
+    assert rows[0]["provenance"] == "mat"
+    assert np.isfinite(rows[0]["rre"])
+    assert os.path.exists(
+        artifacts.artifact_path(str(tmp_path / "results"), "sensor", "triple", "errHist")
+    )
+
+
+def test_cli_video_smoke(tmp_path, rng_key):
+    import scipy.io as sio
+
+    from tritd_tpu.cli import run_video
+
+    g = np.abs(np.asarray(jax.random.normal(rng_key, (12, 14, 8)))) * 120
+    sio.savemat(os.path.join(tmp_path, "highway.mat"), {"gray_images": g})
+    rows = run_video.main([
+        "--datasets", "highway", "--method", "triple", "--max-iter", "10",
+        "--data-dir", str(tmp_path), "--out-dir", str(tmp_path / "results"),
+    ])
+    assert len(rows) == 1
+    assert np.isfinite(rows[0]["psnr"])
+    for what in ("errHist", "Xhat", "O"):
+        assert os.path.exists(
+            artifacts.artifact_path(str(tmp_path / "results"), "highway", "triple", what)
+        )

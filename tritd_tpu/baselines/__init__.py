@@ -11,6 +11,7 @@ from .rc_fctn import (
     weight_fctn,
 )
 from .sofia import sofia_als, sofia_init, sofia_stream, hw_fit, hw_forecast, hw_update
+from .trpca import trpca_tnn, trpca_snn, prox_tnn
 
 __all__ = [
     "tt_trpca",
@@ -28,4 +29,7 @@ __all__ = [
     "hw_fit",
     "hw_forecast",
     "hw_update",
+    "trpca_tnn",
+    "trpca_snn",
+    "prox_tnn",
 ]

@@ -41,6 +41,8 @@ from .shrinkage import (
 )
 from .svt import svt, svt_ref_compat
 from .prox import capped_simplex_projection, flsa
+from .pallas_kernels import elementwise_block
+from .kruskal import khatrirao, ktensor_full, tenmat, tenrand, cp_normalize, create_problem
 
 __all__ = [
     "unfold",
@@ -77,4 +79,11 @@ __all__ = [
     "svt_ref_compat",
     "capped_simplex_projection",
     "flsa",
+    "elementwise_block",
+    "khatrirao",
+    "ktensor_full",
+    "tenmat",
+    "tenrand",
+    "cp_normalize",
+    "create_problem",
 ]
