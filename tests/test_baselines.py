@@ -181,3 +181,35 @@ def test_hw_fit_forecast_update_roundtrip():
     np.testing.assert_allclose(fc[:, 0], truth, atol=1.5)
     ls2, bs2, ss2 = hw_update(fc[0], ls, bs, ss, fs, m)
     assert ls2.shape[0] == ls.shape[0] + 1
+
+
+def test_sofia_stream_end_to_end(rng_key):
+    """Streaming phase: init on the first m*cycles frames, then per-step
+    Holt-Winters forecast + SGD. Must track a seasonal CP stream."""
+    from tritd_tpu.baselines import sofia_stream
+
+    m, cycles = 6, 2
+    x = seasonal_cp_tensor(rng_key, (8, 9, 30), r=2, m=m)
+    omega = jnp.ones(x.shape, bool)
+    (u1, u2), w, x_hat, o = sofia_stream(
+        x, omega, r=2, m=m, cycles=cycles, max_epoch=15, mu=0.2
+    )
+    assert x_hat.shape == x.shape
+    assert w.shape == (30, 2)
+    # streamed reconstruction error stays bounded after warm start
+    ti = m * cycles
+    tail_err = np.linalg.norm(x_hat[:, :, ti:] - np.asarray(x)[:, :, ti:]) / (
+        np.linalg.norm(np.asarray(x)[:, :, ti:])
+    )
+    assert np.isfinite(tail_err)
+    assert tail_err < 0.8
+
+
+def test_sofia_stream_helpers():
+    from tritd_tpu.baselines.sofia import compute_nre, compute_rmse, tensor2stream
+
+    x = np.arange(24.0).reshape(2, 3, 4)
+    frames = list(tensor2stream(x))
+    assert len(frames) == 4 and frames[0].shape == (2, 3)
+    assert compute_nre(x, x) == 0.0
+    assert compute_rmse(x + 1, x) == 1.0

@@ -339,6 +339,26 @@ def hw_update(y_new: np.ndarray, ls, bs, ss, fs, m: int):
     return ls, bs, ss
 
 
+def tensor2stream(y: np.ndarray):
+    """`tensor2stream.m`: iterate mode-3 slices of a tensor as a stream."""
+    for t in range(y.shape[-1]):
+        yield y[..., t]
+
+
+def compute_nre(x_hat, x) -> float:
+    """`compute_nre.m`: ||x - x_hat||_F / ||x||_F."""
+    x_hat = np.asarray(x_hat)
+    x = np.asarray(x)
+    return float(np.linalg.norm(x - x_hat) / np.linalg.norm(x))
+
+
+def compute_rmse(x_hat, x) -> float:
+    """`compute_rmse.m`: sqrt(mean((x - x_hat)^2))."""
+    x_hat = np.asarray(x_hat)
+    x = np.asarray(x)
+    return float(np.sqrt(np.mean((x - x_hat) ** 2)))
+
+
 def _huber(x: np.ndarray, k: float = 2.0) -> np.ndarray:
     return np.clip(x, -k, k)
 

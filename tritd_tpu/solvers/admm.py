@@ -124,6 +124,15 @@ def admm_iteration(
     mu_o = jnp.minimum(mu_o * cfg.rho, mu_cap)
 
     err = (jnp.sqrt(sq_l) + jnp.sqrt(sq_o)) / norm_d
+    if cfg.disp:
+        jax.lax.cond(
+            (k + 1) % 10 == 0,
+            lambda: jax.debug.print(
+                "Iter {k}, errL={el:.2e}, errO={eo:.2e}",
+                k=k + 1, el=jnp.sqrt(sq_l) / norm_d, eo=jnp.sqrt(sq_o) / norm_d,
+            ),
+            lambda: None,
+        )
     err_hist = state.err_hist.at[k].set(err)
 
     if origin is not None:

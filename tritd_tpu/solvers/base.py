@@ -39,6 +39,9 @@ class TriTDConfig:
     use_pallas: bool = False        # optional Pallas elementwise kernel; XLA's
                                     # own fusion already runs this block at
                                     # ~80% of HBM peak (see ops/pallas_kernels)
+    disp: bool = False              # print residuals every 10 iterations via
+                                    # jax.debug.print — the reference's
+                                    # opts.disp/fprintf (`:60-62`)
 
     def jnp_dtype(self):
         return jnp.dtype(self.dtype)

@@ -54,6 +54,17 @@ class PhaseTimer:
         return dict(self.totals)
 
 
+@contextlib.contextmanager
+def profiler_trace(log_dir: str = "/tmp/tritd_profile"):
+    """jax.profiler trace context — open the result with TensorBoard/XProf.
+    The TPU-native replacement for tic/toc-level observability (SURVEY §5)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
 def time_fn(fn, *args, warmup: int = 1, iters: int = 3, **kwargs):
     """(best seconds, last result) of a jitted fn, excluding compile."""
     result = None
