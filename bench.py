@@ -1,15 +1,19 @@
-"""Benchmark: TriTD-ADMM completion protocol wall-clock vs the reference.
+"""Benchmark: TriTD-ADMM protocol wall-clock vs the reference's published
+numbers (BASELINE.md).
 
-Runs the traffic-completion protocol (`traffic_triple_comparison.m`) for the
-taxi configuration — the headline row of BASELINE.md (reference MATLAB:
-53.90 s, RRE 0.338 at 10% missing, r=5) — on whatever accelerator JAX
-exposes. Datasets load from data/<name>.mat when present, otherwise a seeded
-synthetic low-TriTD-rank stand-in of the published shape (identical compute
-profile; RRE then reported against the synthetic truth).
+Primary metric (stdout, ONE JSON line): the taxi completion configuration —
+the reference's most expensive TriTD row (53.90 s MATLAB, RRE 0.338 at 10%
+missing, r=5). Detail lines for every other benchmark configuration go to
+stderr.
 
-Prints ONE JSON line:
-  {"metric": "taxi_completion_walltime", "value": <s>, "unit": "s",
-   "vs_baseline": <reference_seconds / our_seconds>}
+Datasets load from data/<name>.mat when present; otherwise seeded synthetic
+stand-ins of the published shapes (identical compute profile — the
+wall-clock comparison is shape-for-shape regardless).
+
+Timing protocol: warm-up run first (the reference times the solve, not
+MATLAB JIT), then best-of-3 with the error history FETCHED to host — through
+the axon TPU tunnel `block_until_ready` alone does not synchronize with
+device completion, so a host fetch is the only honest fence.
 """
 
 from __future__ import annotations
@@ -19,35 +23,42 @@ import sys
 import time
 
 
-def main() -> None:
-    import jax
-    import jax.numpy as jnp
+# Reference wall-clock seconds (BASELINE.md; video rows = README.md:73-76).
+BASELINE_SECONDS = {
+    "sensor": 2.53,
+    "taxi": 53.90,
+    "network": 1.72,
+    "chicago": 20.69,
+    "highway": 33.68,
+}
+BASELINE_RRE = {"sensor": 0.279, "taxi": 0.338, "network": 0.143, "chicago": 0.321}
 
+
+def run_config(name: str, jax, jnp, np):
     from tritd_tpu.data import load_dataset, uniform_missing_mask
     from tritd_tpu.metrics.recon import rre
     from tritd_tpu.ops.designs import triple_product
     from tritd_tpu.solvers import tritd_admm
-    from tritd_tpu.utils.config import COMPLETION_TRITD, README_MISSING_RATIO
+    from tritd_tpu.utils.config import (
+        COMPLETION_TRITD,
+        README_MISSING_RATIO,
+        VIDEO_TRITD,
+    )
 
-    dataset = "taxi"
-    baseline_seconds = 53.90  # BASELINE.md, reference README.md:63
-
-    x_np, spec, provenance = load_dataset(dataset)
+    x_np, spec, provenance = load_dataset(name)
     key = jax.random.PRNGKey(0)
     x = jnp.asarray(x_np, jnp.float32)
-    mask = uniform_missing_mask(key, x.shape, README_MISSING_RATIO)
-    y = jnp.where(mask, x, 0.0)
+    if spec.kind == "video":
+        cfg = VIDEO_TRITD
+        y = x
+    else:
+        cfg = COMPLETION_TRITD
+        mask = uniform_missing_mask(key, x.shape, README_MISSING_RATIO)
+        y = jnp.where(mask, x, 0.0)
 
-    import numpy as np
-
-    cfg = COMPLETION_TRITD
     run = lambda: tritd_admm(y, cfg, key=key)
-
-    # warm-up (compile) — the reference protocol times the solve, not compile.
-    # Timing must FETCH results to host: through the axon TPU tunnel,
-    # block_until_ready alone does not synchronize with device completion.
     res = run()
-    np.asarray(res.err_hist)
+    np.asarray(res.err_hist)  # warm-up + compile
 
     best = float("inf")
     for _ in range(3):
@@ -57,36 +68,74 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
 
     x_hat = triple_product(res.a, res.b, res.c)
-    final_rre = float(rre(x_hat, x))
-    n_iters = int(res.n_iters)
-    iters_per_s = n_iters / best if best > 0 else float("nan")
+    return {
+        "dataset": name,
+        "provenance": provenance,
+        "shape": list(x.shape),
+        "seconds": round(best, 4),
+        "n_iters": int(res.n_iters),
+        "iters_per_s": round(int(res.n_iters) / best, 2),
+        "rre_all_entries": round(float(rre(x_hat, x)), 4),
+        "baseline_seconds": BASELINE_SECONDS.get(name),
+        "baseline_rre": BASELINE_RRE.get(name),
+        "speedup_vs_baseline": round(BASELINE_SECONDS[name] / best, 2)
+        if name in BASELINE_SECONDS
+        else None,
+    }
 
+
+def main() -> None:
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    primary = run_config("taxi", jax, jnp, np)
     print(
         json.dumps(
             {
                 "metric": "taxi_completion_walltime",
-                "value": round(best, 4),
+                "value": primary["seconds"],
                 "unit": "s",
-                "vs_baseline": round(baseline_seconds / best, 2),
+                "vs_baseline": primary["speedup_vs_baseline"],
             }
         )
     )
+
+    details = [primary]
+    # NOTE: the first device op in a fresh process pays a one-time ~8 min
+    # axon-tunnel warm-up (measured; independent of program size). After it,
+    # per-config compiles are ~1-2 s. Extra configs run within a time budget
+    # so the primary line always lands; --full / TRITD_BENCH_FULL=1 ignores
+    # the budget.
+    start = time.perf_counter()
+    budget = float(os.environ.get("TRITD_BENCH_BUDGET_S", "240"))
+    unbounded = "--full" in sys.argv or os.environ.get("TRITD_BENCH_FULL") == "1"
+    for name in ("sensor", "network", "chicago", "highway"):
+        if not unbounded and time.perf_counter() - start > budget:
+            details.append({"dataset": name, "skipped": "time budget"})
+            continue
+        import signal
+
+        def _alarm(signum, frame):
+            raise TimeoutError("per-config time limit")
+
+        old = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(0 if unbounded else 150)
+        try:
+            details.append(run_config(name, jax, jnp, np))
+        except Exception as exc:  # keep the primary line valid regardless
+            details.append({"dataset": name, "error": repr(exc)})
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
     print(
         json.dumps(
             {
-                "detail": {
-                    "dataset": dataset,
-                    "provenance": provenance,
-                    "shape": list(x.shape),
-                    "rank": cfg.rank,
-                    "n_iters": n_iters,
-                    "iters_per_s": round(iters_per_s, 2),
-                    "rre_all_entries": round(final_rre, 4),
-                    "baseline_rre": 0.338,
-                    "baseline_seconds": baseline_seconds,
-                    "backend": jax.default_backend(),
-                    "device": str(jax.devices()[0]),
-                }
+                "backend": jax.default_backend(),
+                "device": str(jax.devices()[0]),
+                "configs": details,
             }
         ),
         file=sys.stderr,

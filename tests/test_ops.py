@@ -261,3 +261,15 @@ def test_flsa_constant_region():
     v = jnp.array([1.0, 2.0, 3.0, 2.0, 1.0])
     x = flsa(v, 0.0, 100.0, iters=500)
     np.testing.assert_allclose(np.asarray(x), np.full(5, np.mean(np.asarray(v))), atol=1e-3)
+
+
+def test_kron_g_h_equal_full_builds(cores):
+    from tritd_tpu.ops import kron_g, kron_h
+
+    a, b, c, _ = cores
+    np.testing.assert_allclose(
+        np.asarray(kron_g(a, c)), np.asarray(build_g(a, c, "full")), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(kron_h(a, b)), np.asarray(build_h(a, b, "full")), rtol=1e-5, atol=1e-5
+    )

@@ -92,7 +92,13 @@ def _synthetic_fallback(spec: DatasetSpec) -> np.ndarray:
         )
         x = np.clip(x + np.abs(fg), 0.0, 255.0)
     else:
-        x = np.abs(x) * 50.0
+        # traffic-like: exactly low-TriTD-rank + 10% relative noise, scaled
+        # to an O(100) dynamic range. (No abs(): rectification would destroy
+        # the low-rank structure the solvers are benchmarked on.)
+        rng = np.random.default_rng(abs(hash(spec.name)) % (2**31))
+        noise = rng.standard_normal(x.shape)
+        x = x + 0.1 * np.linalg.norm(x) / np.linalg.norm(noise) * noise
+        x = 50.0 * x
     return x.astype(np.float64)
 
 

@@ -150,3 +150,27 @@ def kron_f(b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     f = bm @ cm  # [(s,j), (q,t)]
     f = f.reshape(r, n2, r, n3)  # [s, j, q, t]
     return f.transpose(2, 0, 3, 1).reshape(r * r, n3 * n2)
+
+
+def kron_g(a: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """Explicit-Kronecker counterpart of ``build_g(a, c, "full")``
+    (`origin_triple_tensor/kronG.m`): G[(p,s),(t,i)] = sum_q A[i,q,s] C[p,q,t]."""
+    n1, r, _ = a.shape
+    _, _, n3 = c.shape
+    am = a.transpose(2, 0, 1).reshape(r * n1, r)  # [(s,i), q]
+    cm = c.transpose(1, 0, 2).reshape(r, r * n3)  # [q, (p,t)]
+    g = am @ cm  # [(s,i), (p,t)]
+    g = g.reshape(r, n1, r, n3)  # [s, i, p, t]
+    return g.transpose(2, 0, 3, 1).reshape(r * r, n3 * n1)
+
+
+def kron_h(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Explicit-Kronecker counterpart of ``build_h(a, b, "full")``
+    (`origin_triple_tensor/kronH.m`): H[(p,q),(j,i)] = sum_s A[i,q,s] B[p,j,s]."""
+    n1, r, _ = a.shape
+    _, n2, _ = b.shape
+    am = a.transpose(1, 0, 2).reshape(r * n1, r)  # [(q,i), s]
+    bm = b.transpose(2, 0, 1).reshape(r, r * n2)  # [s, (p,j)]
+    h = am @ bm  # [(q,i), (p,j)]
+    h = h.reshape(r, n1, r, n2)  # [q, i, p, j]
+    return h.transpose(2, 0, 3, 1).reshape(r * r, n2 * n1)

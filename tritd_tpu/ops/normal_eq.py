@@ -137,31 +137,43 @@ def rhs_mode(
     b: jnp.ndarray,
     c: jnp.ndarray,
     variant: str = "hadamard",
+    einsum_dtype=None,
 ) -> jnp.ndarray:
     """Right-hand side unfold(X, mode) @ design^T, shape (n_mode, r^2),
-    computed as a direct three-operand einsum (no design materialization)."""
+    computed as a direct three-operand einsum (no design materialization).
+
+    einsum_dtype: optional lower-precision input dtype (e.g. bfloat16) for
+    the O(n^3 r^2) contraction — accumulation stays float32 via
+    preferred_element_type, trading ~3 mantissa decimal digits on the RHS
+    for MXU throughput. The Grams/solves always stay float32."""
     _check_variant(variant)
     r = a.shape[1]
+    out_dtype = x.dtype
+    if einsum_dtype is not None:
+        x = x.astype(einsum_dtype)
+        a = a.astype(einsum_dtype)
+        b = b.astype(einsum_dtype)
+        c = c.astype(einsum_dtype)
     if variant == "hadamard":
         if mode == 1:
-            rhs = jnp.einsum("ijt,qjs,qst->iqs", x, b, c, optimize="optimal")
+            rhs = jnp.einsum("ijt,qjs,qst->iqs", x, b, c, optimize="optimal", preferred_element_type=jnp.float32)
         elif mode == 2:
-            rhs = jnp.einsum("ijt,ips,pst->jps", x, a, c, optimize="optimal")
+            rhs = jnp.einsum("ijt,ips,pst->jps", x, a, c, optimize="optimal", preferred_element_type=jnp.float32)
         elif mode == 3:
-            rhs = jnp.einsum("ijt,ipq,pjq->tpq", x, a, b, optimize="optimal")
+            rhs = jnp.einsum("ijt,ipq,pjq->tpq", x, a, b, optimize="optimal", preferred_element_type=jnp.float32)
         else:
             raise ValueError(f"mode must be 1, 2 or 3, got {mode}")
     else:
         if mode == 1:
-            rhs = jnp.einsum("ijt,pjs,pqt->iqs", x, b, c, optimize="optimal")
+            rhs = jnp.einsum("ijt,pjs,pqt->iqs", x, b, c, optimize="optimal", preferred_element_type=jnp.float32)
         elif mode == 2:
-            rhs = jnp.einsum("ijt,iqs,pqt->jps", x, a, c, optimize="optimal")
+            rhs = jnp.einsum("ijt,iqs,pqt->jps", x, a, c, optimize="optimal", preferred_element_type=jnp.float32)
         elif mode == 3:
-            rhs = jnp.einsum("ijt,iqs,pjs->tpq", x, a, b, optimize="optimal")
+            rhs = jnp.einsum("ijt,iqs,pjs->tpq", x, a, b, optimize="optimal", preferred_element_type=jnp.float32)
         else:
             raise ValueError(f"mode must be 1, 2 or 3, got {mode}")
     n_mode = rhs.shape[0]
-    return rhs.reshape(n_mode, r * r)
+    return rhs.reshape(n_mode, r * r).astype(out_dtype)
 
 
 def gram_and_rhs(
@@ -171,11 +183,12 @@ def gram_and_rhs(
     b: jnp.ndarray,
     c: jnp.ndarray,
     variant: str = "hadamard",
+    einsum_dtype=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(K, rhs) for the ridge system of the given mode update."""
     return (
         gram_mode(mode, a, b, c, variant=variant),
-        rhs_mode(mode, x, a, b, c, variant=variant),
+        rhs_mode(mode, x, a, b, c, variant=variant, einsum_dtype=einsum_dtype),
     )
 
 

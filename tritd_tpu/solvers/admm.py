@@ -69,14 +69,15 @@ def update_factors(
     r = cfg.rank
     variant = cfg.variant
     method = cfg.solve_method
+    ed = cfg.jnp_einsum_dtype()
 
-    k1, rhs1 = normal_eq.gram_and_rhs(1, t, a, b, c, variant=variant)
+    k1, rhs1 = normal_eq.gram_and_rhs(1, t, a, b, c, variant=variant, einsum_dtype=ed)
     a = core_a_from_mat(normal_eq.ridge_solve(k1, rhs1, cfg.lambda2, method), r)
 
-    k2, rhs2 = normal_eq.gram_and_rhs(2, t, a, b, c, variant=variant)
+    k2, rhs2 = normal_eq.gram_and_rhs(2, t, a, b, c, variant=variant, einsum_dtype=ed)
     b = core_b_from_mat(normal_eq.ridge_solve(k2, rhs2, cfg.lambda2, method), r)
 
-    k3, rhs3 = normal_eq.gram_and_rhs(3, t, a, b, c, variant=variant)
+    k3, rhs3 = normal_eq.gram_and_rhs(3, t, a, b, c, variant=variant, einsum_dtype=ed)
     c = core_c_from_mat(normal_eq.ridge_solve(k3, rhs3, cfg.alpha_c, method), r)
     return a, b, c
 

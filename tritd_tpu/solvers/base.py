@@ -42,6 +42,12 @@ class TriTDConfig:
     disp: bool = False              # print residuals every 10 iterations via
                                     # jax.debug.print — the reference's
                                     # opts.disp/fprintf (`:60-62`)
+    einsum_dtype: str | None = None  # optional "bfloat16" input precision for
+                                     # the O(n^3 r^2) RHS contractions (f32
+                                     # accumulation); None = full float32
+
+    def jnp_einsum_dtype(self):
+        return None if self.einsum_dtype is None else jnp.dtype(self.einsum_dtype)
 
     def jnp_dtype(self):
         return jnp.dtype(self.dtype)
