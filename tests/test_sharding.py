@@ -86,3 +86,20 @@ def test_batch_sharded_dp_tp(problem):
             np.asarray(ref.err_hist[:12]),
             rtol=5e-3, atol=1e-5,
         )
+
+
+def test_mode3_frame_sharding_matches(problem):
+    """Mode-3 (frame) sharding — the sequence-parallel layout — must match
+    the single-device solver, including frame padding (n3=17 over 8)."""
+    cfg = TriTDConfig(rank=2, max_iter=20, tol=0.0)
+    mesh = make_mesh(n_slab=8)
+    ref = tritd_admm(problem, cfg)
+    got = tritd_admm_sharded(problem, cfg, mesh, shard_tensor_mode=3)
+    np.testing.assert_allclose(
+        np.asarray(trim_history(got.err_hist, got.n_iters)),
+        np.asarray(trim_history(ref.err_hist, ref.n_iters)),
+        rtol=2e-3, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.o), np.asarray(ref.o), rtol=2e-2, atol=2e-3
+    )

@@ -16,6 +16,8 @@ from .config import (
 from .artifacts import artifact_path, save_artifact, load_artifact, save_raw
 from .timing import sync, device_timer, PhaseTimer, time_fn
 from .checkpoint import save_state, load_state, CheckpointManager
+from .debug import nan_debug, strict_determinism, check_finite
+from .timing import profiler_trace
 
 __all__ = [
     "COMPLETION_TRITD",
@@ -40,4 +42,8 @@ __all__ = [
     "save_state",
     "load_state",
     "CheckpointManager",
+    "nan_debug",
+    "strict_determinism",
+    "check_finite",
+    "profiler_trace",
 ]
