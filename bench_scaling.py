@@ -1,0 +1,88 @@
+"""Sharded-solver scaling probe.
+
+Measures TriTD-ADMM iterations/s of the mode-1-slab sharded solver at
+1/2/4/8 shards. On real multi-chip TPU hardware this measures the north-star
+scaling efficiency (BASELINE.md: >=80% iterations/s 1 -> 2 hosts); in this
+environment only one chip is attached, so by default it runs on a virtual
+host-CPU mesh — which validates the collective program and load balance but
+NOT interconnect throughput (virtual devices share one host's FLOPs, so
+"efficiency" here reflects per-shard work division + psum overhead on
+shared-memory transport).
+
+Prints one JSON line per shard count:
+  {"n_shards": N, "iters_per_s": X, "efficiency_vs_1": Y}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    force_cpu = "--tpu" not in sys.argv
+    if force_cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        )
+
+    import jax
+
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tritd_tpu.data.synthetic import random_tritd, sparse_outliers
+    from tritd_tpu.parallel import make_mesh, tritd_admm_sharded
+    from tritd_tpu.solvers import TriTDConfig
+
+    shape = tuple(
+        int(v) for v in os.environ.get("TRITD_SCALING_SHAPE", "96,96,256").split(",")
+    )
+    iters = int(os.environ.get("TRITD_SCALING_ITERS", "30"))
+    key = jax.random.PRNGKey(0)
+    x, _ = random_tritd(key, shape, rank=5)
+    o = sparse_outliers(jax.random.fold_in(key, 1), shape, 0.05, 5.0)
+    d = x + o
+    cfg = TriTDConfig(rank=5, max_iter=iters, tol=0.0)
+
+    base_rate = None
+    max_shards = jax.device_count()
+    n = 1
+    while n <= max_shards:
+        mesh = make_mesh(n_slab=n)
+        run = lambda: tritd_admm_sharded(d, cfg, mesh)
+        res = run()
+        np.asarray(res.err_hist)  # compile + sync
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = run()
+            np.asarray(res.err_hist)
+            best = min(best, time.perf_counter() - t0)
+        rate = iters / best
+        if base_rate is None:
+            base_rate = rate
+        print(
+            json.dumps(
+                {
+                    "n_shards": n,
+                    "iters_per_s": round(rate, 2),
+                    "efficiency_vs_1": round(rate / (base_rate * n), 3)
+                    if n > 1
+                    else 1.0,
+                    "backend": jax.default_backend(),
+                }
+            ),
+            flush=True,
+        )
+        n *= 2
+
+
+if __name__ == "__main__":
+    main()

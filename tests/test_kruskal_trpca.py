@@ -117,3 +117,45 @@ def test_trpca_snn_runs_and_improves(rng_key):
     assert np.isfinite(hist).all()
     # residual L{1}+E-X converges toward feasibility
     assert hist[-1] < hist[10]
+
+
+def _random_fctn(key, nway, rank):
+    """Exactly-FCTN-structured 4-way tensor."""
+    from tritd_tpu.baselines.rnc_fctn import _init_factors, fctn_compose
+
+    gs, _ = _init_factors(key, nway, rank, jnp.float32)
+    # center the uniform factors so the composition is not rank-deficient
+    gs = tuple(g - 0.5 for g in gs)
+    return fctn_compose(gs)
+
+
+def test_fctn_compose_associativity(rng_key):
+    """Composition contracts every bond exactly once: compare against a
+    brute-force loop on a tiny instance."""
+    from tritd_tpu.baselines.rnc_fctn import _init_factors, fctn_compose
+
+    nway = (2, 3, 2, 3)
+    rank = np.triu(np.full((4, 4), 2), 1)
+    gs, _ = _init_factors(rng_key, nway, rank, jnp.float32)
+    got = np.asarray(fctn_compose(gs))
+    g1, g2, g3, g4 = (np.asarray(g) for g in gs)
+    want = np.einsum("aqrs,qbtu,rtcv,suvd->abcd", g1, g2, g3, g4)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_rnc_fctn_completes(rng_key):
+    from tritd_tpu.baselines import rnc_fctn
+
+    nway = (6, 7, 6, 7)
+    rank = np.triu(np.full((4, 4), 2), 1)
+    x = _random_fctn(jax.random.fold_in(rng_key, 1), nway, rank) * 10
+    omega = jax.random.bernoulli(jax.random.fold_in(rng_key, 2), 0.7, nway)
+    f = jnp.where(omega, x, 0.0)
+    xh, gs, e, hist, k = rnc_fctn(
+        f, lam=0.05, omega=omega, rank=rank, max_rank=rank,
+        rho=0.1, beta=1.0, max_iter=150, origin=x,
+        key=jax.random.fold_in(rng_key, 3),
+    )
+    assert np.isfinite(hist).all()
+    assert hist[-1] < hist[0]
+    assert hist[-1] < 0.35

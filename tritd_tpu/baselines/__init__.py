@@ -12,6 +12,7 @@ from .rc_fctn import (
 )
 from .sofia import sofia_als, sofia_init, sofia_stream, hw_fit, hw_forecast, hw_update
 from .trpca import trpca_tnn, trpca_snn, prox_tnn
+from .rnc_fctn import rnc_fctn, fctn_compose
 
 __all__ = [
     "tt_trpca",
@@ -32,4 +33,6 @@ __all__ = [
     "trpca_tnn",
     "trpca_snn",
     "prox_tnn",
+    "rnc_fctn",
+    "fctn_compose",
 ]
