@@ -177,3 +177,82 @@ def sp_elemwise(vals, coords, shape, fn) -> tuple:
     the sptensor arithmetic surface (``times``, ``abs``, ``power`` etc.)
     collapsed to its one sound primitive."""
     return fn(vals), coords, shape
+
+
+def cp_als_sparse(
+    vals,
+    coords,
+    shape,
+    rank: int,
+    max_iters: int = 50,
+    tol: float = 1e-4,
+    key=None,
+    init_factors=None,
+):
+    """CP-ALS on a sparse tensor — ``cp_als(sptensor, R)``: identical update
+    equations to the dense path (``cp_als.m``; see
+    :func:`tritd_tpu.ops.decomp.cp_als`) with the MTTKRP swapped for the
+    O(nnz·R) sparse kernel and the fit computed from nnz-local quantities
+    (||X||² = Σ vals², <X, M> via gathered model rows) — the dense tensor
+    never materializes, so memory is O(nnz·R + Σnᵢ·R)."""
+    import functools
+
+    from .kruskal import cp_normalize
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if init_factors is None:
+        keys = jax.random.split(key, len(shape))
+        init_factors = [
+            jax.random.uniform(k, (s, rank), vals.dtype)
+            for k, s in zip(keys, shape)
+        ]
+
+    n = len(shape)
+
+    @functools.partial(jax.jit, static_argnames=("max_iters", "tol"))
+    def run(vals, coords, factors0, max_iters: int, tol: float):
+        norm_x = jnp.linalg.norm(vals)  # exact when coords are distinct
+        eye = jnp.eye(rank, dtype=vals.dtype)
+
+        def model_at_nonzeros(factors):
+            rows = jnp.ones((vals.shape[0], rank), vals.dtype)
+            for ax in range(n):
+                rows = rows * factors[ax][coords[:, ax]]
+            return rows.sum(axis=1)
+
+        def body(carry):
+            factors, fit_prev, _delta, it = carry
+            factors = list(factors)
+            for mode in range(n):
+                rhs = sp_mttkrp(vals, coords, shape, factors, mode)
+                g = jnp.ones((rank, rank), vals.dtype)
+                for ax in range(n):
+                    if ax != mode:
+                        g = g * (factors[ax].T @ factors[ax])
+                jitter = 32 * jnp.finfo(vals.dtype).eps * (jnp.trace(g) / rank + 1.0)
+                cho = jax.scipy.linalg.cho_factor(g + jitter * eye, lower=True)
+                factors[mode] = jax.scipy.linalg.cho_solve(cho, rhs.T).T
+            g_all = jnp.ones((rank, rank), vals.dtype)
+            for u in factors:
+                g_all = g_all * (u.T @ u)
+            inner = jnp.dot(vals, model_at_nonzeros(factors))
+            resid_sq = jnp.maximum(norm_x**2 + jnp.sum(g_all) - 2.0 * inner, 0.0)
+            fit = 1.0 - jnp.sqrt(resid_sq) / norm_x
+            return tuple(factors), fit, jnp.abs(fit - fit_prev), it + 1
+
+        def cond(carry):
+            return (carry[3] < max_iters) & (carry[2] >= tol)
+
+        init = (
+            tuple(factors0),
+            jnp.asarray(-jnp.inf, vals.dtype),
+            jnp.asarray(jnp.inf, vals.dtype),
+            jnp.asarray(0, jnp.int32),
+        )
+        factors, fit, _d, iters = jax.lax.while_loop(cond, body, init)
+        return list(factors), fit, iters
+
+    factors, fit, iters = run(vals, coords, init_factors, max_iters, tol)
+    factors, weights = cp_normalize(factors)
+    return {"weights": weights, "factors": factors, "fit": fit, "n_iters": iters}
