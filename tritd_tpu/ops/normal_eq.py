@@ -148,7 +148,10 @@ def rhs_mode(
     for MXU throughput. The Grams/solves always stay float32."""
     _check_variant(variant)
     r = a.shape[1]
-    out_dtype = x.dtype
+    # Output in the FACTOR dtype: x may arrive pre-cast to the low-precision
+    # einsum dtype (the solver stores the carried T that way), and the ridge
+    # solves downstream must stay full precision.
+    out_dtype = a.dtype
     if einsum_dtype is not None:
         x = x.astype(einsum_dtype)
         a = a.astype(einsum_dtype)

@@ -104,11 +104,19 @@ def admm_iteration(
     if cfg.masked and mask is not None:
         # Impute unobserved entries with the current model estimate so the
         # data term only binds on observed entries (extension; see module doc).
+        # The imputed D changes every iteration, so T is built in place here
+        # instead of using the carried state.t (which the unmasked fast path
+        # produces inside the previous iteration's elementwise fusion).
         l_prev = designs.triple_product(a, b, c, variant=cfg.variant)
         d = jnp.where(mask, d, l_prev + o)
+        t = d - o + y_l / mu_l
+        ed = cfg.jnp_einsum_dtype()
+        if ed is not None:
+            t = t.astype(ed)
+    else:
+        t = state.t
 
     # 1) factor updates against T = D - O + Y_L/muL
-    t = d - o + y_l / mu_l
     a, b, c = update_factors(t, a, b, c, cfg)
     l = designs.triple_product(a, b, c, variant=cfg.variant)
 
@@ -123,6 +131,14 @@ def admm_iteration(
     mu_cap = jnp.asarray(cfg.mu * cfg.mu_cap_factor, mu_l.dtype)
     mu_l = jnp.minimum(mu_l * cfg.rho, mu_cap)
     mu_o = jnp.minimum(mu_o * cfg.rho, mu_cap)
+
+    # 6) T for the next iteration, fused by XLA into the elementwise block
+    # above (d, o, y_l are live in its registers) — saves 3 full-tensor
+    # reads per iteration vs rebuilding T at the top of the next one.
+    t_next = d - o + y_l / mu_l
+    ed = cfg.jnp_einsum_dtype()
+    if ed is not None:
+        t_next = t_next.astype(ed)
 
     err = (jnp.sqrt(sq_l) + jnp.sqrt(sq_o)) / norm_d
     if cfg.disp:
@@ -149,7 +165,7 @@ def admm_iteration(
     done = (k >= 1) & (jnp.abs(err - err_prev) < cfg.tol * err_prev)
 
     return TriTDState(
-        a=a, b=b, c=c, o=o, e=e, y_l=y_l, y_o=y_o,
+        a=a, b=b, c=c, o=o, e=e, y_l=y_l, y_o=y_o, t=t_next,
         mu_l=mu_l, mu_o=mu_o, k=k + 1,
         err_hist=err_hist, rre_hist=rre_hist, done=done,
     )
@@ -163,9 +179,12 @@ def init_state(
     a, b, c = init_factors(key, d.shape, cfg.rank, dtype)
     zeros = jnp.zeros_like(d)
     nan_hist = jnp.full((cfg.max_iter,), jnp.nan, dtype)
+    # T_0 = D - 0 + 0/mu = D (stored in the einsum dtype when set).
+    ed = cfg.jnp_einsum_dtype()
+    t0 = d if ed is None else d.astype(ed)
     return TriTDState(
         a=a, b=b, c=c,
-        o=zeros, e=zeros, y_l=zeros, y_o=zeros,
+        o=zeros, e=zeros, y_l=zeros, y_o=zeros, t=t0,
         mu_l=jnp.asarray(cfg.mu, dtype), mu_o=jnp.asarray(cfg.mu, dtype),
         k=jnp.asarray(0, jnp.int32),
         err_hist=nan_hist, rre_hist=nan_hist,

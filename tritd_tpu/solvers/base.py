@@ -63,6 +63,13 @@ class TriTDState(NamedTuple):
     e: jnp.ndarray        # (n1, n2, n3) l1 clone of O
     y_l: jnp.ndarray      # dual for D - L - O
     y_o: jnp.ndarray      # dual for O - E
+    t: jnp.ndarray        # carried factor-solve target D - O + Y_L/muL for
+                          # the NEXT iteration; produced inside the fused
+                          # elementwise block (whose registers already hold
+                          # D, O, Y_L) to save three full-tensor HBM reads
+                          # per iteration. Derivable from (d, o, y_l, mu_l);
+                          # carried in checkpoints so resume is exact.
+                          # Stored in einsum_dtype when set (bf16 knob).
     mu_l: jnp.ndarray     # scalar penalty (annealed)
     mu_o: jnp.ndarray     # scalar penalty (annealed)
     k: jnp.ndarray        # iteration counter (int32)
