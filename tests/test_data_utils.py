@@ -108,6 +108,43 @@ def test_checkpoint_manager(tmp_path, rng_key):
     assert mgr.latest().endswith("step_000002.npz")
 
 
+def test_checkpoint_legacy_without_t_backfills(tmp_path, rng_key):
+    """Checkpoints written before the carried field `t` existed must still
+    resume: load_state reconstructs t = d - o + y_l/mu_l exactly."""
+    d = jax.random.normal(rng_key, (6, 7, 8))
+    cfg = TriTDConfig(rank=2, max_iter=10)
+    state = init_state(d, cfg, rng_key)
+    arrays = {
+        name: np.asarray(getattr(state, name))
+        for name in state._fields
+        if name != "t"
+    }
+    path = str(tmp_path / "legacy.npz")
+    np.savez_compressed(path, **arrays)
+
+    with pytest.raises(ValueError, match="carried field 't'"):
+        checkpoint.load_state(path)
+
+    loaded = checkpoint.load_state(path, cfg.jnp_dtype(), d=d)
+    np.testing.assert_allclose(
+        np.asarray(loaded.t), np.asarray(state.t), rtol=1e-6
+    )
+
+
+def test_checkpoint_t_recast_to_einsum_dtype(tmp_path, rng_key):
+    """Resuming under an einsum_dtype config recasts `t` so the while_loop
+    carry dtypes match what admm_iteration produces."""
+    d = jax.random.normal(rng_key, (6, 7, 8))
+    cfg = TriTDConfig(rank=2, max_iter=10)
+    state = init_state(d, cfg, rng_key)
+    path = checkpoint.save_state(str(tmp_path / "state.npz"), state)
+    cfg_bf16 = TriTDConfig(rank=2, max_iter=10, einsum_dtype="bfloat16")
+    loaded = checkpoint.load_state(
+        path, cfg_bf16.jnp_dtype(), einsum_dtype=cfg_bf16.jnp_einsum_dtype()
+    )
+    assert loaded.t.dtype == jnp.bfloat16
+
+
 def test_presets_match_reference_constants():
     assert COMPLETION_TRITD.mu == 1e-3
     assert COMPLETION_TRITD.rho == 1.25

@@ -85,7 +85,15 @@ def main(argv=None) -> list[dict]:
     p.add_argument("--data-dir", default=None)
     p.add_argument("--out-dir", default="results")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--platform", default=None, choices=("cpu", "tpu"),
+        help="force a JAX backend (the axon TPU plugin overrides the "
+        "JAX_PLATFORMS env var, so a config-level override is needed to "
+        "run on CPU in TPU-attached environments)",
+    )
     args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     rows = []
     for name in args.datasets:

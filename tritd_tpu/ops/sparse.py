@@ -212,7 +212,10 @@ def cp_als_sparse(
 
     @functools.partial(jax.jit, static_argnames=("max_iters", "tol"))
     def run(vals, coords, factors0, max_iters: int, tol: float):
-        norm_x = jnp.linalg.norm(vals)  # exact when coords are distinct
+        # duplicate-aware ||X||: duplicate coordinates accumulate (module
+        # convention, and sptenrand produces them), so ||vals||_2 would be
+        # wrong — sum within equal-index runs first, exactly like sp_norm.
+        norm_x = sp_norm(vals, coords, shape)
         eye = jnp.eye(rank, dtype=vals.dtype)
 
         def model_at_nonzeros(factors):

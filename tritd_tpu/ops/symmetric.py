@@ -116,34 +116,29 @@ def eig_sshopm(
 
 @functools.partial(jax.jit, static_argnames=("concave", "max_iters", "tol"))
 def _geap_run(a, b, x0, shift, concave: bool, max_iters: int, tol: float):
-    m = a.ndim
     beta = -1.0 if concave else 1.0
-
-    def bnormalize(x):
-        # ||x||_B = (B x^m)^(1/m) — the B-unit sphere of the GEAP paper.
-        bxm = ttsv(b, x, 0)
-        return x / jnp.maximum(bxm, 1e-30) ** (1.0 / m)
 
     def body(carry):
         x, lam, _delta, it = carry
         axm1 = ttsv(a, x, 1)
         bxm1 = ttsv(b, x, 1)
         bxm = ttsv(b, x, 0)
-        # `eig_geap.m:154`: newx = β(Axᵐ⁻¹ − λBxᵐ⁻¹ + (α+λ)(Bxᵐ)x)
+        # `eig_geap.m:154`: newx = β(Axᵐ⁻¹ − λBxᵐ⁻¹ + (α+λ)(Bxᵐ)x),
+        # then Euclidean renormalization (newx/norm(newx), `eig_geap.m:155`)
+        # — λ = Axᵐ/Bxᵐ is scale-invariant, so the sphere choice only fixes
+        # the iterate's scale, and the reference uses the Euclidean one.
         newx = beta * (axm1 - lam * bxm1 + (shift + lam) * bxm * x)
-        newx = bnormalize(newx)
+        newx = newx / jnp.linalg.norm(newx)
         newlam = ttsv(a, newx, 0) / ttsv(b, newx, 0)
         return newx, newlam, jnp.abs(newlam - lam), it + 1
 
     def cond(carry):
         return (carry[3] < max_iters) & (carry[2] >= tol)
 
-    x0 = bnormalize(x0)
+    x0 = x0 / jnp.linalg.norm(x0)
     lam0 = ttsv(a, x0, 0) / ttsv(b, x0, 0)
     init = (x0, lam0, jnp.asarray(jnp.inf, a.dtype), jnp.asarray(0, jnp.int32))
     x, lam, delta, iters = jax.lax.while_loop(cond, body, init)
-    # report the eigenvector on the Euclidean unit sphere, like the toolbox
-    x = x / jnp.linalg.norm(x)
     return lam, x, delta, iters
 
 
@@ -159,8 +154,8 @@ def eig_geap(
 ):
     """Generalized Eigenproblem Adaptive Power method for
     ``Axᵐ⁻¹ = λ Bxᵐ⁻¹`` (B symmetric positive definite on the sphere) —
-    ``eig_geap.m`` semantics (update at `:154`, B-sphere normalization,
-    |Δλ| stop). The reference adapts `shift` from the Hessian spectrum;
+    ``eig_geap.m`` semantics (update at `:154`, Euclidean renormalization
+    of the iterate at `:155`, |Δλ| stop). The reference adapts `shift` from the Hessian spectrum;
     here it is a fixed margin (pass a larger value if λ oscillates)."""
     if x0 is None:
         if key is None:

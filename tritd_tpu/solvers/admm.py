@@ -135,10 +135,16 @@ def admm_iteration(
     # 6) T for the next iteration, fused by XLA into the elementwise block
     # above (d, o, y_l are live in its registers) — saves 3 full-tensor
     # reads per iteration vs rebuilding T at the top of the next one.
-    t_next = d - o + y_l / mu_l
-    ed = cfg.jnp_einsum_dtype()
-    if ed is not None:
-        t_next = t_next.astype(ed)
+    # Masked mode rebuilds T from the freshly imputed D instead, so the
+    # carried value would be dead weight (one extra elementwise pass plus
+    # an (n1,n2,n3) HBM carry): pass the state through unchanged.
+    if cfg.masked and mask is not None:
+        t_next = state.t
+    else:
+        t_next = d - o + y_l / mu_l
+        ed = cfg.jnp_einsum_dtype()
+        if ed is not None:
+            t_next = t_next.astype(ed)
 
     err = (jnp.sqrt(sq_l) + jnp.sqrt(sq_o)) / norm_d
     if cfg.disp:

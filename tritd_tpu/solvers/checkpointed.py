@@ -59,7 +59,9 @@ def tritd_admm_checkpointed(
         if steps:
             latest = os.path.join(ckpt_dir, steps[-1])
     state = (
-        load_state(latest, cfg.jnp_dtype()) if latest else init_state(d, cfg, key)
+        load_state(latest, cfg.jnp_dtype(), d=d, einsum_dtype=cfg.jnp_einsum_dtype())
+        if latest
+        else init_state(d, cfg, key)
     )
     # A checkpoint written under a smaller max_iter carries shorter history
     # arrays; extend them (NaN-filled) so the new loop can index to max_iter.

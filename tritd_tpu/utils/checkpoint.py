@@ -27,12 +27,41 @@ def save_state(path: str, state: TriTDState) -> str:
     return path
 
 
-def load_state(path: str, dtype=None) -> TriTDState:
+def load_state(path: str, dtype=None, d=None, einsum_dtype=None) -> TriTDState:
+    """Load a TriTDState checkpoint.
+
+    Args:
+      path: .npz written by :func:`save_state`.
+      dtype: when set, recast the solver arrays to this dtype (resuming
+        under a different config.dtype).
+      d: the observed tensor; required only to backfill the carried
+        factor-solve target `t` when resuming a checkpoint written before
+        `t` was added to the state (it is derivable: t = d - o + y_l/mu_l).
+      einsum_dtype: the dtype admm_iteration will produce `t` in
+        (config.jnp_einsum_dtype()); `t` is recast to it (else to `dtype`)
+        so the lax.while_loop carry dtypes match.
+    """
     with np.load(path) as f:
-        kwargs = {name: jnp.asarray(f[name]) for name in _FIELDS}
+        kwargs = {name: jnp.asarray(f[name]) for name in _FIELDS if name in f}
     if dtype is not None:
         for name in ("a", "b", "c", "o", "e", "y_l", "y_o", "mu_l", "mu_o"):
             kwargs[name] = kwargs[name].astype(dtype)
+    if "t" not in kwargs:
+        # Pre-`t` checkpoint: reconstruct instead of failing (exact — the
+        # solver would have carried exactly this value).
+        if d is None:
+            raise ValueError(
+                f"checkpoint {path!r} predates the carried field 't'; pass "
+                "the observed tensor d to load_state to reconstruct it"
+            )
+        s = kwargs
+        kwargs["t"] = jnp.asarray(d, s["o"].dtype) - s["o"] + s["y_l"] / s["mu_l"]
+    t_dtype = einsum_dtype if einsum_dtype is not None else dtype
+    if t_dtype is not None:
+        kwargs["t"] = kwargs["t"].astype(t_dtype)
+    missing = [name for name in _FIELDS if name not in kwargs]
+    if missing:
+        raise KeyError(f"checkpoint {path!r} missing fields {missing}")
     return TriTDState(**kwargs)
 
 
