@@ -88,6 +88,88 @@ def test_batch_sharded_dp_tp(problem):
         )
 
 
+@pytest.mark.parametrize("shard_tensor_mode", [1, 3])
+def test_sharded_masked_matches_single_device(problem, shard_tensor_mode):
+    """Masked completion in the sharded solvers (imputation is local —
+    zero extra collectives) must match the single-device masked solve."""
+    key = jax.random.PRNGKey(3)
+    mask = jax.random.uniform(key, SHAPE) > 0.15
+    y = jnp.where(mask, problem, 0.0)
+    cfg = TriTDConfig(rank=2, max_iter=20, tol=0.0, masked=True)
+    mesh = make_mesh(n_slab=4)
+    ref = tritd_admm(y, cfg, mask=mask)
+    got = tritd_admm_sharded(
+        y, cfg, mesh, mask=mask, shard_tensor_mode=shard_tensor_mode
+    )
+    np.testing.assert_allclose(
+        np.asarray(trim_history(got.err_hist, got.n_iters)),
+        np.asarray(trim_history(ref.err_hist, ref.n_iters)),
+        rtol=2e-3, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.o), np.asarray(ref.o), rtol=2e-2, atol=2e-3
+    )
+
+
+def test_sharded_masked_requires_mask(problem):
+    cfg = TriTDConfig(rank=2, max_iter=5, masked=True)
+    mesh = make_mesh(n_slab=2)
+    with pytest.raises(ValueError, match="requires a mask"):
+        tritd_admm_sharded(problem, cfg, mesh)
+    with pytest.raises(ValueError, match="masked=False"):
+        tritd_admm_sharded(
+            problem, TriTDConfig(rank=2, max_iter=5), mesh,
+            mask=jnp.ones(SHAPE, bool),
+        )
+
+
+def test_sharded_rre_hist_matches_oracle(problem):
+    """rre_hist must be the oracle RRE vs origin (not an alias of
+    err_hist), matching the single-device solver; NaN when origin absent."""
+    origin = problem * 0.9  # any stand-in "ground truth"
+    cfg = TriTDConfig(rank=2, max_iter=15, tol=0.0)
+    mesh = make_mesh(n_slab=4)
+    ref = tritd_admm(problem, cfg, origin=origin)
+    got = tritd_admm_sharded(problem, cfg, mesh, origin=origin)
+    np.testing.assert_allclose(
+        np.asarray(trim_history(got.rre_hist, got.n_iters)),
+        np.asarray(trim_history(ref.rre_hist, ref.n_iters)),
+        rtol=2e-3, atol=1e-5,
+    )
+    # without origin the history is NaN, never the residual history
+    got2 = tritd_admm_sharded(problem, cfg, mesh)
+    assert np.isnan(np.asarray(got2.rre_hist)).all()
+
+
+def test_batch_sharded_masked_and_origin(problem):
+    """DP x TP path: per-entry masks and origins thread through."""
+    from tritd_tpu.parallel import tritd_admm_batch_sharded
+
+    key = jax.random.PRNGKey(5)
+    mask = jax.random.uniform(key, SHAPE) > 0.15
+    batch = jnp.stack([problem, problem * 0.5])
+    mask_b = jnp.stack([mask, mask])
+    y = jnp.where(mask_b, batch, 0.0)
+    cfg = TriTDConfig(rank=2, max_iter=10, tol=0.0, masked=True)
+    mesh = make_mesh(n_slab=4, n_data=2)
+    got = tritd_admm_batch_sharded(
+        y, cfg, mesh, mask_batch=mask_b, origin_batch=batch
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), 2)
+    for idx in range(2):
+        ref = tritd_admm(y[idx], cfg, key=keys[idx], mask=mask_b[idx], origin=batch[idx])
+        np.testing.assert_allclose(
+            np.asarray(got.err_hist[idx][:10]),
+            np.asarray(ref.err_hist[:10]),
+            rtol=5e-3, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.rre_hist[idx][:10]),
+            np.asarray(ref.rre_hist[:10]),
+            rtol=5e-3, atol=1e-5,
+        )
+
+
 def test_mode3_frame_sharding_matches(problem):
     """Mode-3 (frame) sharding — the sequence-parallel layout — must match
     the single-device solver, including frame padding (n3=17 over 8)."""

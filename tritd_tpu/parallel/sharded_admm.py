@@ -9,19 +9,32 @@ ADMM iteration the ONLY cross-chip traffic is:
   * psum of GramA               — r^4 words
   * psum of the mode-2 RHS      — n2 r^2 words
   * psum of the mode-3 RHS      — n3 r^2 words
-  * psum of 2 residual scalars
+  * psum of 2 residual scalars (+1 oracle-RRE scalar when origin is given)
 
-All elementwise sweeps (O, E, duals) and the O(n^3 r^2) GEMMs are local to
-the shard. The whole `while_loop` runs INSIDE one shard_map so iterations
-never synchronize with the host.
+All elementwise sweeps (O, E, duals, masked imputation) and the
+O(n^3 r^2) GEMMs are local to the shard. The whole `while_loop` runs INSIDE
+one shard_map so iterations never synchronize with the host.
+
+shard_tensor_mode=3 is the sequence-parallel layout for long video tensors:
+D and the C core are sharded along mode-3 frames, GramC and the mode-1/2
+RHS partials are psum-reduced instead.
+
+Masked completion (cfg.masked + a mask argument) imputes unobserved entries
+with the current L + O estimate each iteration, exactly like the
+single-device solver (`solvers/admm.py`) — the imputation is elementwise +
+one local `triple_product`, so it adds ZERO collectives.
 
 An alternative GSPMD path (`tritd_admm_auto`) jits the single-device solver
 with NamedSharding-annotated inputs and lets XLA place the same collectives
 automatically — used as a cross-check and for quick experiments.
 
-Zero-padding of n1 to a multiple of the slab count is algebraically inert:
-padded rows of D are zero, so their RHS rows — and hence their A rows and
-Gram contributions — stay exactly zero through every iteration.
+Zero-padding of n1 (or n3) to a multiple of the shard count is algebraically
+inert: padded entries of D are zero and the padded factor rows/frames are
+zero-initialized, so their RHS rows — and hence their factor rows and Gram
+contributions — stay exactly zero through every iteration. Masks are padded
+with True (observed zero), which preserves the same invariant under masked
+imputation; origins are padded with zeros, so the psum'd RRE numerator and
+norm are unchanged.
 """
 
 from __future__ import annotations
@@ -46,139 +59,117 @@ def _psum(x, axis_name):
     return jax.lax.psum(x, axis_name)
 
 
-def _sharded_solver_body_mode3(
-    d_loc, a0, b0, c0_loc, cfg: TriTDConfig, axis_name: str
-):
-    """Mode-3 (frame/time) sharded iteration — the sequence-parallel
-    analogue for long video tensors (SURVEY §2.5): D, O, E, Y_L, Y_O are
-    sharded along mode 3 together with the C core's frame axis; A, B are
-    replicated. Per iteration: psum of GramC (r^4 words) + the mode-1/2 RHS
-    partials (n1 r^2 + n2 r^2 words) + residual scalars."""
-    dtype = d_loc.dtype
-    norm_d = jnp.sqrt(_psum(jnp.sum(d_loc * d_loc), axis_name))
-    zeros = jnp.zeros_like(d_loc)
-    nan_hist = jnp.full((cfg.max_iter,), jnp.nan, dtype)
+def _update_factors_sharded(t, a, b, c, cfg: TriTDConfig, axis_name, shard_mode):
+    """One Gauss-Seidel sweep of the three ridge mode solves with the
+    collective placement of the given sharding layout.
+
+    shard_mode=1 (mode-1 slabs): the A solve is fully local (K1 from
+    replicated B, C; RHS rows are the local slab); GramA is the iteration's
+    one r^4-word psum; the mode-2/3 RHS partials psum-reduce over slabs.
+
+    shard_mode=3 (mode-3 frames): GramC psums (frames sharded); the
+    mode-1/2 RHS partials psum-reduce over frames; the C solve is fully
+    local (K3 from replicated A, B; RHS rows are the local frames).
+    """
     r = cfg.rank
-    mu0 = jnp.asarray(cfg.mu, dtype)
-    mu_cap = jnp.asarray(cfg.mu * cfg.mu_cap_factor, dtype)
+    variant = cfg.variant
+    method = cfg.solve_method
 
-    def cond(carry):
-        *_, k, done = carry
-        return (k < cfg.max_iter) & ~done
-
-    def body(carry):
-        a, b, c, o, e, y_l, y_o, mu_l, mu_o, err_hist, k, done = carry
-        t = d_loc - o + y_l / mu_l
-
-        gc = _psum(normal_eq.gram_c(c), axis_name)  # frames sharded -> psum
-
-        # mode-1 (A): K replicated; RHS reduces over the sharded frame axis
-        gb = normal_eq.gram_b(b)
-        k1 = normal_eq.combine_grams(1, None, gb, gc, cfg.variant)
-        rhs1 = _psum(normal_eq.rhs_mode(1, t, a, b, c, cfg.variant), axis_name)
-        a = core_a_from_mat(
-            normal_eq.ridge_solve(k1, rhs1, cfg.lambda2, cfg.solve_method), r
-        )
-
-        # mode-2 (B): same structure
-        ga = normal_eq.gram_a(a)
-        k2 = normal_eq.combine_grams(2, ga, None, gc, cfg.variant)
-        rhs2 = _psum(normal_eq.rhs_mode(2, t, a, b, c, cfg.variant), axis_name)
-        b = core_b_from_mat(
-            normal_eq.ridge_solve(k2, rhs2, cfg.lambda2, cfg.solve_method), r
-        )
-
-        # mode-3 (C): fully local — A, B (hence K3) replicated, RHS rows local
-        gb = normal_eq.gram_b(b)
-        k3 = normal_eq.combine_grams(3, ga, gb, None, cfg.variant)
-        rhs3 = normal_eq.rhs_mode(3, t, a, b, c, cfg.variant)
-        c = core_c_from_mat(
-            normal_eq.ridge_solve(k3, rhs3, cfg.alpha_c, cfg.solve_method), r
-        )
-
-        l = designs.triple_product(a, b, c, variant=cfg.variant)
-        r1 = d_loc - l + y_l / mu_l
-        r2 = e - y_o / mu_o
-        o = (mu_l * r1 + mu_o * r2) / (mu_l + mu_o)
-        e = soft_threshold(o + y_o / mu_o, cfg.lambda_l1 / mu_o)
-        res_l = d_loc - l - o
-        res_o = o - e
-        y_l = y_l + mu_l * res_l
-        y_o = y_o + mu_o * res_o
-        mu_l = jnp.minimum(mu_l * cfg.rho, mu_cap)
-        mu_o = jnp.minimum(mu_o * cfg.rho, mu_cap)
-
-        err = (
-            jnp.sqrt(_psum(jnp.sum(res_l * res_l), axis_name))
-            + jnp.sqrt(_psum(jnp.sum(res_o * res_o), axis_name))
-        ) / norm_d
-        err_hist = err_hist.at[k].set(err)
-        err_prev = err_hist[jnp.maximum(k - 1, 0)]
-        done = (k >= 1) & (jnp.abs(err - err_prev) < cfg.tol * err_prev)
-        return (a, b, c, o, e, y_l, y_o, mu_l, mu_o, err_hist, k + 1, done)
-
-    carry0 = (
-        a0, b0, c0_loc, zeros, zeros, zeros, zeros, mu0, mu0,
-        nan_hist, jnp.asarray(0, jnp.int32), jnp.asarray(False),
-    )
-    a, b, c, o, e, _, _, _, _, err_hist, k, _ = jax.lax.while_loop(
-        cond, body, carry0
-    )
-    return a, b, c, o, e, err_hist, k
-
-
-def _sharded_solver_body(d_loc, a0_loc, b0, c0, cfg: TriTDConfig, axis_name: str):
-    """Runs on each shard under shard_map; d_loc/a-rows are the local slab."""
-    dtype = d_loc.dtype
-    norm_d = jnp.sqrt(_psum(jnp.sum(d_loc * d_loc), axis_name))
-    zeros = jnp.zeros_like(d_loc)
-    nan_hist = jnp.full((cfg.max_iter,), jnp.nan, dtype)
-    r = cfg.rank
-    mu0 = jnp.asarray(cfg.mu, dtype)
-    mu_cap = jnp.asarray(cfg.mu * cfg.mu_cap_factor, dtype)
-
-    def cond(carry):
-        *_, k, done = carry
-        return (k < cfg.max_iter) & ~done
-
-    def body(carry):
-        a, b, c, o, e, y_l, y_o, mu_l, mu_o, err_hist, k, done = carry
-        t = d_loc - o + y_l / mu_l
-
-        # mode-1 (A) update: fully local — B, C (hence K1) replicated, RHS rows local
+    if shard_mode == 1:
         gb = normal_eq.gram_b(b)
         gc = normal_eq.gram_c(c)
-        k1 = normal_eq.combine_grams(1, None, gb, gc, cfg.variant)
-        rhs1 = normal_eq.rhs_mode(1, t, a, b, c, cfg.variant)
-        a = core_a_from_mat(
-            normal_eq.ridge_solve(k1, rhs1, cfg.lambda2, cfg.solve_method), r
-        )
+        k1 = normal_eq.combine_grams(1, None, gb, gc, variant)
+        rhs1 = normal_eq.rhs_mode(1, t, a, b, c, variant)
+        a = core_a_from_mat(normal_eq.ridge_solve(k1, rhs1, cfg.lambda2, method), r)
 
-        # GramA: the one r^4-word collective of the iteration
         ga = _psum(normal_eq.gram_a(a), axis_name)
 
-        # mode-2 (B) update: psum the (n2, r^2) RHS partials
-        k2 = normal_eq.combine_grams(2, ga, None, gc, cfg.variant)
-        rhs2 = _psum(normal_eq.rhs_mode(2, t, a, b, c, cfg.variant), axis_name)
-        b = core_b_from_mat(
-            normal_eq.ridge_solve(k2, rhs2, cfg.lambda2, cfg.solve_method), r
-        )
+        k2 = normal_eq.combine_grams(2, ga, None, gc, variant)
+        rhs2 = _psum(normal_eq.rhs_mode(2, t, a, b, c, variant), axis_name)
+        b = core_b_from_mat(normal_eq.ridge_solve(k2, rhs2, cfg.lambda2, method), r)
 
-        # mode-3 (C) update: psum the (n3, r^2) RHS partials
         gb = normal_eq.gram_b(b)
-        k3 = normal_eq.combine_grams(3, ga, gb, None, cfg.variant)
-        rhs3 = _psum(normal_eq.rhs_mode(3, t, a, b, c, cfg.variant), axis_name)
-        c = core_c_from_mat(
-            normal_eq.ridge_solve(k3, rhs3, cfg.alpha_c, cfg.solve_method), r
-        )
+        k3 = normal_eq.combine_grams(3, ga, gb, None, variant)
+        rhs3 = _psum(normal_eq.rhs_mode(3, t, a, b, c, variant), axis_name)
+        c = core_c_from_mat(normal_eq.ridge_solve(k3, rhs3, cfg.alpha_c, method), r)
+        return a, b, c
+
+    # shard_mode == 3
+    gc = _psum(normal_eq.gram_c(c), axis_name)
+
+    gb = normal_eq.gram_b(b)
+    k1 = normal_eq.combine_grams(1, None, gb, gc, variant)
+    rhs1 = _psum(normal_eq.rhs_mode(1, t, a, b, c, variant), axis_name)
+    a = core_a_from_mat(normal_eq.ridge_solve(k1, rhs1, cfg.lambda2, method), r)
+
+    ga = normal_eq.gram_a(a)
+    k2 = normal_eq.combine_grams(2, ga, None, gc, variant)
+    rhs2 = _psum(normal_eq.rhs_mode(2, t, a, b, c, variant), axis_name)
+    b = core_b_from_mat(normal_eq.ridge_solve(k2, rhs2, cfg.lambda2, method), r)
+
+    gb = normal_eq.gram_b(b)
+    k3 = normal_eq.combine_grams(3, ga, gb, None, variant)
+    rhs3 = normal_eq.rhs_mode(3, t, a, b, c, variant)
+    c = core_c_from_mat(normal_eq.ridge_solve(k3, rhs3, cfg.alpha_c, method), r)
+    return a, b, c
+
+
+def _sharded_solver_body(
+    d_loc,
+    a0,
+    b0,
+    c0,
+    mask_loc,
+    origin_loc,
+    cfg: TriTDConfig,
+    axis_name: str,
+    shard_mode: int,
+    has_mask: bool,
+    has_origin: bool,
+):
+    """Runs on each shard under shard_map. `d_loc` (and the sharded factor —
+    A rows for shard_mode=1, C frames for shard_mode=3, together with
+    mask/origin when given) is the local block; the other factors are
+    replicated. Semantics match the single-device solver exactly up to
+    float reduction order (tested in tests/test_sharding.py)."""
+    dtype = d_loc.dtype
+    norm_d = jnp.sqrt(_psum(jnp.sum(d_loc * d_loc), axis_name))
+    norm_origin = (
+        jnp.sqrt(_psum(jnp.sum(origin_loc * origin_loc), axis_name))
+        if has_origin
+        else None
+    )
+    zeros = jnp.zeros_like(d_loc)
+    nan_hist = jnp.full((cfg.max_iter,), jnp.nan, dtype)
+    mu0 = jnp.asarray(cfg.mu, dtype)
+    mu_cap = jnp.asarray(cfg.mu * cfg.mu_cap_factor, dtype)
+    masked = cfg.masked and has_mask
+
+    def cond(carry):
+        *_, k, done = carry
+        return (k < cfg.max_iter) & ~done
+
+    def body(carry):
+        a, b, c, o, e, y_l, y_o, mu_l, mu_o, err_hist, rre_hist, k, done = carry
+        if masked:
+            # Impute unobserved entries with the current model estimate —
+            # local triple_product + elementwise, zero extra collectives
+            # (matches solvers/admm.py masked branch).
+            l_prev = designs.triple_product(a, b, c, variant=cfg.variant)
+            d = jnp.where(mask_loc, d_loc, l_prev + o)
+        else:
+            d = d_loc
+        t = d - o + y_l / mu_l
+
+        a, b, c = _update_factors_sharded(t, a, b, c, cfg, axis_name, shard_mode)
 
         # local reconstruction + elementwise ADMM block (no communication)
         l = designs.triple_product(a, b, c, variant=cfg.variant)
-        r1 = d_loc - l + y_l / mu_l
+        r1 = d - l + y_l / mu_l
         r2 = e - y_o / mu_o
         o = (mu_l * r1 + mu_o * r2) / (mu_l + mu_o)
         e = soft_threshold(o + y_o / mu_o, cfg.lambda_l1 / mu_o)
-        res_l = d_loc - l - o
+        res_l = d - l - o
         res_o = o - e
         y_l = y_l + mu_l * res_l
         y_o = y_o + mu_o * res_o
@@ -190,27 +181,35 @@ def _sharded_solver_body(d_loc, a0_loc, b0, c0, cfg: TriTDConfig, axis_name: str
             + jnp.sqrt(_psum(jnp.sum(res_o * res_o), axis_name))
         ) / norm_d
         err_hist = err_hist.at[k].set(err)
+        if has_origin:
+            diff = l - origin_loc
+            rre = jnp.sqrt(_psum(jnp.sum(diff * diff), axis_name)) / norm_origin
+            rre_hist = rre_hist.at[k].set(rre)
         err_prev = err_hist[jnp.maximum(k - 1, 0)]
         done = (k >= 1) & (jnp.abs(err - err_prev) < cfg.tol * err_prev)
-        return (a, b, c, o, e, y_l, y_o, mu_l, mu_o, err_hist, k + 1, done)
+        return (a, b, c, o, e, y_l, y_o, mu_l, mu_o, err_hist, rre_hist, k + 1, done)
 
     carry0 = (
-        a0_loc, b0, c0, zeros, zeros, zeros, zeros, mu0, mu0,
-        nan_hist, jnp.asarray(0, jnp.int32), jnp.asarray(False),
+        a0, b0, c0, zeros, zeros, zeros, zeros, mu0, mu0,
+        nan_hist, nan_hist, jnp.asarray(0, jnp.int32), jnp.asarray(False),
     )
-    a, b, c, o, e, _, _, _, _, err_hist, k, _ = jax.lax.while_loop(
+    a, b, c, o, e, _, _, _, _, err_hist, rre_hist, k, _ = jax.lax.while_loop(
         cond, body, carry0
     )
-    return a, b, c, o, e, err_hist, k
+    return a, b, c, o, e, err_hist, rre_hist, k
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "mesh", "axis_name", "shard_tensor_mode", "valid_size"),
+    static_argnames=(
+        "cfg", "mesh", "axis_name", "shard_tensor_mode", "valid_size",
+        "has_mask", "has_origin",
+    ),
 )
 def _sharded_run(
-    d_pad, key, cfg: TriTDConfig, mesh: Mesh, axis_name: str,
-    shard_tensor_mode: int = 1, valid_size: int | None = None,
+    d_pad, mask_pad, origin_pad, key, cfg: TriTDConfig, mesh: Mesh,
+    axis_name: str, shard_tensor_mode: int = 1, valid_size: int | None = None,
+    has_mask: bool = False, has_origin: bool = False,
 ):
     dtype = cfg.jnp_dtype()
     # Draw the factor init at the ORIGINAL (unpadded) shape so the random
@@ -233,43 +232,41 @@ def _sharded_run(
         c0 = jnp.pad(c0, ((0, 0), (0, 0), (0, n3p - c0.shape[2])))
 
     if shard_tensor_mode == 1:
-        fn = jax.shard_map(
-            functools.partial(_sharded_solver_body, cfg=cfg, axis_name=axis_name),
-            mesh=mesh,
-            in_specs=(P(axis_name), P(axis_name), P(), P()),
-            out_specs=(
-                P(axis_name),  # a (mode-1 rows sharded)
-                P(),           # b
-                P(),           # c
-                P(axis_name),  # o
-                P(axis_name),  # e
-                P(),           # err_hist
-                P(),           # k
-            ),
-            check_vma=False,
-        )
-        return fn(d_pad, a0, b0, c0)
-    if shard_tensor_mode == 3:
+        tensor_spec = P(axis_name, None, None)
+        a_spec, c_spec = P(axis_name), P()
+    elif shard_tensor_mode == 3:
         tensor_spec = P(None, None, axis_name)
-        fn = jax.shard_map(
-            functools.partial(
-                _sharded_solver_body_mode3, cfg=cfg, axis_name=axis_name
-            ),
-            mesh=mesh,
-            in_specs=(tensor_spec, P(), P(), tensor_spec),
-            out_specs=(
-                P(),           # a
-                P(),           # b
-                tensor_spec,   # c (frame axis sharded)
-                tensor_spec,   # o
-                tensor_spec,   # e
-                P(),           # err_hist
-                P(),           # k
-            ),
-            check_vma=False,
+        a_spec, c_spec = P(), P(None, None, axis_name)
+    else:
+        raise ValueError(
+            f"shard_tensor_mode must be 1 or 3, got {shard_tensor_mode}"
         )
-        return fn(d_pad, a0, b0, c0)
-    raise ValueError(f"shard_tensor_mode must be 1 or 3, got {shard_tensor_mode}")
+    mask_spec = tensor_spec if has_mask else P()
+    origin_spec = tensor_spec if has_origin else P()
+    fn = jax.shard_map(
+        functools.partial(
+            _sharded_solver_body,
+            cfg=cfg,
+            axis_name=axis_name,
+            shard_mode=shard_tensor_mode,
+            has_mask=has_mask,
+            has_origin=has_origin,
+        ),
+        mesh=mesh,
+        in_specs=(tensor_spec, a_spec, P(), c_spec, mask_spec, origin_spec),
+        out_specs=(
+            a_spec,        # a
+            P(),           # b
+            c_spec,        # c
+            tensor_spec,   # o
+            tensor_spec,   # e
+            P(),           # err_hist
+            P(),           # rre_hist
+            P(),           # k
+        ),
+        check_vma=False,
+    )
+    return fn(d_pad, a0, b0, c0, mask_pad, origin_pad)
 
 
 def tritd_admm_sharded(
@@ -279,14 +276,30 @@ def tritd_admm_sharded(
     key: jax.Array | None = None,
     axis_name: str = AXIS,
     shard_tensor_mode: int = 1,
+    mask: jnp.ndarray | None = None,
+    origin: jnp.ndarray | None = None,
 ) -> TriTDResult:
     """Sharded robust TriTD-ADMM. shard_tensor_mode=1 shards mode-1 slabs
     (rows i and the A core); shard_tensor_mode=3 shards mode-3 frames (the
     sequence-parallel layout for long video tensors, C core sharded).
+
+    mask: optional bool tensor of *observed* entries — with cfg.masked, the
+    sharded solver imputes unobserved entries with L + O each iteration,
+    matching :func:`tritd_tpu.solvers.tritd_admm`.
+    origin: optional ground truth; per-iteration oracle RRE is recorded in
+    rre_hist (NaN-filled when absent — it is NOT the residual history).
+
     Semantics identical to :func:`tritd_tpu.solvers.tritd_admm` up to float
-    reduction order."""
+    reduction order.
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
+    if cfg.masked and mask is None:
+        raise ValueError("cfg.masked=True requires a mask argument")
+    if mask is not None and not cfg.masked:
+        raise ValueError(
+            "mask given but cfg.masked=False — pass TriTDConfig(masked=True)"
+        )
     n_shards = mesh.shape[axis_name]
     d = d.astype(cfg.jnp_dtype())
     axis = 0 if shard_tensor_mode == 1 else 2
@@ -295,24 +308,59 @@ def tritd_admm_sharded(
         P(axis_name, None, None) if shard_tensor_mode == 1
         else P(None, None, axis_name)
     )
-    d_pad = jax.device_put(d_pad, NamedSharding(mesh, spec))
-    a, b, c, o, e, err_hist, k = _sharded_run(
-        d_pad, key, cfg, mesh, axis_name, shard_tensor_mode, n_orig
+    sharding = NamedSharding(mesh, spec)
+    d_pad = jax.device_put(d_pad, sharding)
+
+    has_mask = mask is not None
+    has_origin = origin is not None
+    dummy = jnp.zeros((1, 1, 1), cfg.jnp_dtype())
+    if has_mask:
+        # Pad with True (observed zero): preserves the padding-inertness
+        # invariant under masked imputation.
+        mask_pad = _pad_with(mask.astype(bool), axis, d_pad.shape[axis], True)
+        mask_pad = jax.device_put(mask_pad, sharding)
+    else:
+        mask_pad = dummy
+    if has_origin:
+        origin_pad, _ = pad_to_multiple(
+            origin.astype(cfg.jnp_dtype()), axis, n_shards
+        )
+        origin_pad = jax.device_put(origin_pad, sharding)
+    else:
+        origin_pad = dummy
+
+    a, b, c, o, e, err_hist, rre_hist, k = _sharded_run(
+        d_pad, mask_pad, origin_pad, key, cfg, mesh, axis_name,
+        shard_tensor_mode, n_orig, has_mask, has_origin,
     )
     if shard_tensor_mode == 1:
         return TriTDResult(
             a=a[:n_orig], b=b, c=c, o=o[:n_orig], e=e[:n_orig],
-            err_hist=err_hist, rre_hist=err_hist, n_iters=k,
+            err_hist=err_hist, rre_hist=rre_hist, n_iters=k,
         )
     return TriTDResult(
         a=a, b=b, c=c[:, :, :n_orig], o=o[..., :n_orig], e=e[..., :n_orig],
-        err_hist=err_hist, rre_hist=err_hist, n_iters=k,
+        err_hist=err_hist, rre_hist=rre_hist, n_iters=k,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "data_axis", "slab_axis"))
+def _pad_with(x, axis: int, target: int, value):
+    """Pad one axis up to `target` with a constant value."""
+    size = x.shape[axis]
+    if size == target:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - size)
+    return jnp.pad(x, pad, constant_values=value)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "data_axis", "slab_axis", "has_mask", "has_origin"),
+)
 def _batch_sharded_run(
-    d_batch, key, cfg: TriTDConfig, mesh: Mesh, data_axis: str, slab_axis: str
+    d_batch, mask_batch, origin_batch, key, cfg: TriTDConfig, mesh: Mesh,
+    data_axis: str, slab_axis: str, has_mask: bool = False, has_origin: bool = False,
 ):
     dtype = cfg.jnp_dtype()
     nb, n1p = d_batch.shape[0], d_batch.shape[1]
@@ -322,29 +370,44 @@ def _batch_sharded_run(
     )(keys)
 
     body = jax.vmap(
-        functools.partial(_sharded_solver_body, cfg=cfg, axis_name=slab_axis)
+        functools.partial(
+            _sharded_solver_body,
+            cfg=cfg,
+            axis_name=slab_axis,
+            shard_mode=1,
+            has_mask=has_mask,
+            has_origin=has_origin,
+        ),
+        # dummies (replicated, unused) are passed unbatched
+        in_axes=(0, 0, 0, 0, 0 if has_mask else None, 0 if has_origin else None),
     )
+    tensor_spec = P(data_axis, slab_axis)
+    mask_spec = tensor_spec if has_mask else P()
+    origin_spec = tensor_spec if has_origin else P()
     fn = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(
-            P(data_axis, slab_axis),
+            tensor_spec,
             P(data_axis, slab_axis),
             P(data_axis),
             P(data_axis),
+            mask_spec,
+            origin_spec,
         ),
         out_specs=(
             P(data_axis, slab_axis),  # a
             P(data_axis),             # b
             P(data_axis),             # c
-            P(data_axis, slab_axis),  # o
-            P(data_axis, slab_axis),  # e
+            tensor_spec,              # o
+            tensor_spec,              # e
             P(data_axis),             # err_hist
+            P(data_axis),             # rre_hist
             P(data_axis),             # k
         ),
         check_vma=False,
     )
-    return fn(d_batch, a0, b0, c0)
+    return fn(d_batch, a0, b0, c0, mask_batch, origin_batch)
 
 
 def tritd_admm_batch_sharded(
@@ -354,13 +417,23 @@ def tritd_admm_batch_sharded(
     key: jax.Array | None = None,
     data_axis: str = "data",
     slab_axis: str = AXIS,
+    mask_batch: jnp.ndarray | None = None,
+    origin_batch: jnp.ndarray | None = None,
 ) -> TriTDResult:
     """Data-parallel batch of independent TriTD problems (e.g. the four CDnet
     sequences, BASELINE.json config 5) with each problem's mode-1 slabs
     sharded across the "slab" axis — DP x TP on a 2-D mesh. Batch entries run
-    their own early-stop via the vmapped while_loop."""
+    their own early-stop via the vmapped while_loop. Per-entry masks
+    (cfg.masked) and origins (oracle rre_hist) are supported like in
+    :func:`tritd_admm_sharded`."""
     if key is None:
         key = jax.random.PRNGKey(0)
+    if cfg.masked and mask_batch is None:
+        raise ValueError("cfg.masked=True requires a mask_batch argument")
+    if mask_batch is not None and not cfg.masked:
+        raise ValueError(
+            "mask_batch given but cfg.masked=False — pass TriTDConfig(masked=True)"
+        )
     d_batch = d_batch.astype(cfg.jnp_dtype())
     n_data = mesh.shape[data_axis]
     n_slab = mesh.shape[slab_axis]
@@ -369,15 +442,32 @@ def tritd_admm_batch_sharded(
             f"batch {d_batch.shape[0]} not divisible by data axis {n_data}"
         )
     d_pad, n1 = pad_to_multiple(d_batch, 1, n_slab)
-    d_pad = jax.device_put(
-        d_pad, NamedSharding(mesh, P(data_axis, slab_axis, None, None))
-    )
-    a, b, c, o, e, err_hist, k = _batch_sharded_run(
-        d_pad, key, cfg, mesh, data_axis, slab_axis
+    batch_sharding = NamedSharding(mesh, P(data_axis, slab_axis, None, None))
+    d_pad = jax.device_put(d_pad, batch_sharding)
+
+    has_mask = mask_batch is not None
+    has_origin = origin_batch is not None
+    dummy = jnp.zeros((1, 1, 1, 1), cfg.jnp_dtype())
+    if has_mask:
+        mask_pad = _pad_with(mask_batch.astype(bool), 1, d_pad.shape[1], True)
+        mask_pad = jax.device_put(mask_pad, batch_sharding)
+    else:
+        mask_pad = dummy
+    if has_origin:
+        origin_pad, _ = pad_to_multiple(
+            origin_batch.astype(cfg.jnp_dtype()), 1, n_slab
+        )
+        origin_pad = jax.device_put(origin_pad, batch_sharding)
+    else:
+        origin_pad = dummy
+
+    a, b, c, o, e, err_hist, rre_hist, k = _batch_sharded_run(
+        d_pad, mask_pad, origin_pad, key, cfg, mesh, data_axis, slab_axis,
+        has_mask, has_origin,
     )
     return TriTDResult(
         a=a[:, :n1], b=b, c=c, o=o[:, :n1], e=e[:, :n1],
-        err_hist=err_hist, rre_hist=err_hist, n_iters=k,
+        err_hist=err_hist, rre_hist=rre_hist, n_iters=k,
     )
 
 
