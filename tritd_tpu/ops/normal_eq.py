@@ -152,6 +152,10 @@ def rhs_mode(
     # einsum dtype (the solver stores the carried T that way), and the ridge
     # solves downstream must stay full precision.
     out_dtype = a.dtype
+    # Accumulation dtype: float32 when the inputs were deliberately
+    # down-cast (the bf16 MXU knob), else the factor dtype itself — a
+    # hard-coded float32 here would silently truncate float64 runs.
+    acc_dtype = jnp.float32 if einsum_dtype is not None else out_dtype
     if einsum_dtype is not None:
         x = x.astype(einsum_dtype)
         a = a.astype(einsum_dtype)
@@ -159,20 +163,20 @@ def rhs_mode(
         c = c.astype(einsum_dtype)
     if variant == "hadamard":
         if mode == 1:
-            rhs = jnp.einsum("ijt,qjs,qst->iqs", x, b, c, optimize="optimal", preferred_element_type=jnp.float32)
+            rhs = jnp.einsum("ijt,qjs,qst->iqs", x, b, c, optimize="optimal", preferred_element_type=acc_dtype)
         elif mode == 2:
-            rhs = jnp.einsum("ijt,ips,pst->jps", x, a, c, optimize="optimal", preferred_element_type=jnp.float32)
+            rhs = jnp.einsum("ijt,ips,pst->jps", x, a, c, optimize="optimal", preferred_element_type=acc_dtype)
         elif mode == 3:
-            rhs = jnp.einsum("ijt,ipq,pjq->tpq", x, a, b, optimize="optimal", preferred_element_type=jnp.float32)
+            rhs = jnp.einsum("ijt,ipq,pjq->tpq", x, a, b, optimize="optimal", preferred_element_type=acc_dtype)
         else:
             raise ValueError(f"mode must be 1, 2 or 3, got {mode}")
     else:
         if mode == 1:
-            rhs = jnp.einsum("ijt,pjs,pqt->iqs", x, b, c, optimize="optimal", preferred_element_type=jnp.float32)
+            rhs = jnp.einsum("ijt,pjs,pqt->iqs", x, b, c, optimize="optimal", preferred_element_type=acc_dtype)
         elif mode == 2:
-            rhs = jnp.einsum("ijt,iqs,pqt->jps", x, a, c, optimize="optimal", preferred_element_type=jnp.float32)
+            rhs = jnp.einsum("ijt,iqs,pqt->jps", x, a, c, optimize="optimal", preferred_element_type=acc_dtype)
         elif mode == 3:
-            rhs = jnp.einsum("ijt,iqs,pjs->tpq", x, a, b, optimize="optimal", preferred_element_type=jnp.float32)
+            rhs = jnp.einsum("ijt,iqs,pjs->tpq", x, a, b, optimize="optimal", preferred_element_type=acc_dtype)
         else:
             raise ValueError(f"mode must be 1, 2 or 3, got {mode}")
     n_mode = rhs.shape[0]
