@@ -35,7 +35,15 @@ BASELINE_RRE = {"sensor": 0.279, "taxi": 0.338, "network": 0.143, "chicago": 0.3
 
 
 def run_config(name: str, jax, jnp, np):
-    from tritd_tpu.data import load_dataset, uniform_missing_mask
+    from tritd_tpu.data import (
+        DATASETS,
+        load_dataset,
+        load_groundtruth,
+        synthetic_video_truth,
+        uniform_missing_mask,
+    )
+    from tritd_tpu.metrics.foreground import foreground_scores
+    from tritd_tpu.metrics.image import quality
     from tritd_tpu.metrics.recon import rre
     from tritd_tpu.ops.designs import triple_product
     from tritd_tpu.solvers import tritd_admm
@@ -68,7 +76,12 @@ def run_config(name: str, jax, jnp, np):
         best = min(best, time.perf_counter() - t0)
 
     x_hat = triple_product(res.a, res.b, res.c)
-    return {
+    # RRE is only comparable to the published number when run on the SAME
+    # data. On synthetic stand-ins the wall-clock speedup stays fair
+    # (shape-for-shape identical compute), but the RRE columns must not be
+    # read side-by-side — hence baseline_rre is nulled (VERDICT r1 weak #1).
+    real = provenance == "mat"
+    row = {
         "dataset": name,
         "provenance": provenance,
         "shape": list(x.shape),
@@ -76,12 +89,33 @@ def run_config(name: str, jax, jnp, np):
         "n_iters": int(res.n_iters),
         "iters_per_s": round(int(res.n_iters) / best, 2),
         "rre_all_entries": round(float(rre(x_hat, x)), 4),
+        "rre_comparable_to_baseline": real,
         "baseline_seconds": BASELINE_SECONDS.get(name),
-        "baseline_rre": BASELINE_RRE.get(name),
+        "baseline_rre": BASELINE_RRE.get(name) if real else None,
         "speedup_vs_baseline": round(BASELINE_SECONDS[name] / best, 2)
         if name in BASELINE_SECONDS
         else None,
     }
+    if spec.kind == "video":
+        # video quality metrics (VERDICT r1 weak #2): PSNR/SSIM of the
+        # reconstruction vs the observed video (quality_ybz semantics), and
+        # F1/PWC of the |O| foreground when ground truth exists — CDnet
+        # labels for real data, the generator's fg support for synthetic.
+        psnr_v, ssim_v = quality(x, x_hat)
+        row["psnr"] = round(float(np.asarray(psnr_v).mean()), 3)
+        row["ssim"] = round(float(np.asarray(ssim_v).mean()), 4)
+        gt_labels = None
+        if real:
+            gt_labels = load_groundtruth(name)
+        else:
+            _, bg, fg_mask = synthetic_video_truth(spec)
+            row["rre_background"] = round(float(rre(x_hat, bg)), 4)
+            gt_labels = np.where(np.asarray(fg_mask), 255.0, 0.0)
+        if gt_labels is not None:
+            scores = foreground_scores(np.asarray(res.o), gt_labels)
+            row["f1"] = round(scores.f1, 4)
+            row["pwc"] = round(scores.pwc, 4)
+    return row
 
 
 def main() -> None:

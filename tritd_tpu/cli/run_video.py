@@ -54,8 +54,6 @@ def main(argv=None) -> list[dict]:
     )
     args = p.parse_args(argv)
     if args.platform:
-        import jax
-
         jax.config.update("jax_platforms", args.platform)
 
     rows = []

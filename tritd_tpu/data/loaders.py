@@ -19,12 +19,13 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import zlib
 from typing import Callable
 
 import jax
 import numpy as np
 
-from .synthetic import random_tritd, sparse_outliers
+from .synthetic import random_tritd, synthetic_video
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,7 +58,8 @@ DEFAULT_DATA_DIR = os.environ.get("TRITD_DATA_DIR", "data")
 
 def _load_mat_variable(path: str, variable: str) -> np.ndarray:
     """Read one variable from a .mat file (scipy for <= v7, h5py for v7.3).
-    h5py transposes (MATLAB stores column-major) — corrected here."""
+    MATLAB stores arrays column-major, so the HDF5 (v7.3) layout appears
+    dim-reversed to row-major readers — corrected by the transpose here."""
     try:
         import scipy.io as sio
 
@@ -68,7 +70,9 @@ def _load_mat_variable(path: str, variable: str) -> np.ndarray:
         if len(candidates) == 1:
             return np.asarray(mat[candidates[0]])
         raise KeyError(f"{variable} not in {path}; has {candidates}")
-    except NotImplementedError:
+    except (NotImplementedError, ValueError):
+        # v7.3 (scipy raises NotImplementedError) or a bare-HDF5 file
+        # without the 128-byte MAT header (scipy raises ValueError).
         import h5py
 
         with h5py.File(path, "r") as f:
@@ -77,25 +81,62 @@ def _load_mat_variable(path: str, variable: str) -> np.ndarray:
         return arr.transpose(tuple(reversed(range(arr.ndim))))
 
 
+def save_mat73(path: str, variables: dict[str, np.ndarray]) -> str:
+    """Write a MATLAB v7.3-compatible .mat: an HDF5 file with the 128-byte
+    MAT header in a userblock (116 bytes text, 8-byte subsystem offset,
+    version 0x0200, little-endian tag 'IM') and arrays stored dim-reversed
+    (column-major). Used by the dataset conversion tooling
+    (tools/fetch_data.py) and to exercise the v7.3 ingest path in tests —
+    scipy detects the header and defers to the HDF reader, exactly like a
+    real MATLAB `save -v7.3` file."""
+    import h5py
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with h5py.File(path, "w", userblock_size=512) as f:
+        for name, arr in variables.items():
+            a = np.asarray(arr)
+            ds = f.create_dataset(
+                name, data=a.transpose(tuple(reversed(range(a.ndim))))
+            )
+            ds.attrs["MATLAB_class"] = np.bytes_("double")
+    header = b"MATLAB 7.3 MAT-file, written by tritd_tpu save_mat73"
+    with open(path, "r+b") as fh:
+        fh.write(header[:116].ljust(116, b"\x20"))
+        fh.write(b"\x00" * 8)          # subsystem data offset
+        fh.write(b"\x00\x02")          # version 0x0200 = v7.3
+        fh.write(b"IM")                # little-endian indicator
+    return path
+
+
+def _dataset_seed(name: str) -> int:
+    """Deterministic per-dataset seed. Python's salted str hash() is NOT
+    stable across processes — crc32 is."""
+    return zlib.crc32(name.encode())
+
+
+def synthetic_video_truth(spec: DatasetSpec):
+    """(observed, background, fg_mask) of the seeded CDnet-like stand-in —
+    regenerable by metric code (bench.py F1/PSNR/SSIM) because the
+    generation is deterministic per dataset name."""
+    key = jax.random.PRNGKey(_dataset_seed(spec.name) % (2**31))
+    return synthetic_video(key, spec.shape)
+
+
 def _synthetic_fallback(spec: DatasetSpec) -> np.ndarray:
     """Seeded stand-in with low-TriTD-rank structure + dataset-flavored
-    nonnegativity/scaling so solvers exercise realistic dynamics."""
-    key = jax.random.PRNGKey(abs(hash(spec.name)) % (2**31))
-    x, _ = random_tritd(key, spec.shape, rank=5, dtype=np.float32)
-    x = np.asarray(x)
+    scaling so solvers exercise realistic dynamics. No rectification
+    anywhere: abs()/clip on the low-rank part would destroy the structure
+    the solvers are benchmarked on."""
+    key = jax.random.PRNGKey(_dataset_seed(spec.name) % (2**31))
     if spec.kind == "video":
-        # grayscale-like: positive, [0, 255], plus sparse "moving object"
-        x = np.abs(x)
-        x = 255.0 * x / (x.max() + 1e-9)
-        fg = np.asarray(
-            sparse_outliers(jax.random.fold_in(key, 1), spec.shape, 0.01, 120.0)
-        )
-        x = np.clip(x + np.abs(fg), 0.0, 255.0)
+        observed, _bg, _fg = synthetic_video(key, spec.shape)
+        x = np.asarray(observed)
     else:
         # traffic-like: exactly low-TriTD-rank + 10% relative noise, scaled
-        # to an O(100) dynamic range. (No abs(): rectification would destroy
-        # the low-rank structure the solvers are benchmarked on.)
-        rng = np.random.default_rng(abs(hash(spec.name)) % (2**31))
+        # to an O(100) dynamic range.
+        x, _ = random_tritd(key, spec.shape, rank=5, dtype=np.float32)
+        x = np.asarray(x)
+        rng = np.random.default_rng(_dataset_seed(spec.name))
         noise = rng.standard_normal(x.shape)
         x = x + 0.1 * np.linalg.norm(x) / np.linalg.norm(noise) * noise
         x = 50.0 * x
