@@ -75,6 +75,32 @@ def run_config(name: str, jax, jnp, np):
         np.asarray(res.err_hist)
         best = min(best, time.perf_counter() - t0)
 
+    # Device iteration rate, RTT-cancelled by two-point differencing: every
+    # jit call + host fetch through the axon tunnel costs a FIXED ~26 ms
+    # (measured — see docs/BENCH_NOTES.md), which dominates the small
+    # configs, so call-time/iters would report tunnel latency, not TPU
+    # throughput. The wall-clock `seconds` above stays end-to-end honest.
+    import dataclasses
+
+    lo, hi = 50, 250
+
+    def run_n(n):
+        c = dataclasses.replace(cfg, max_iter=n, tol=0.0)
+        r = tritd_admm(y, c, key=key)
+        np.asarray(r.err_hist)
+        return r
+
+    run_n(lo), run_n(hi)  # compile both programs
+    t_lo = t_hi = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_n(lo)
+        t_lo = min(t_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run_n(hi)
+        t_hi = min(t_hi, time.perf_counter() - t0)
+    device_s_per_iter = max(t_hi - t_lo, 1e-9) / (hi - lo)
+
     x_hat = triple_product(res.a, res.b, res.c)
     # RRE is only comparable to the published number when run on the SAME
     # data. On synthetic stand-ins the wall-clock speedup stays fair
@@ -88,6 +114,9 @@ def run_config(name: str, jax, jnp, np):
         "seconds": round(best, 4),
         "n_iters": int(res.n_iters),
         "iters_per_s": round(int(res.n_iters) / best, 2),
+        "device_us_per_iter": round(device_s_per_iter * 1e6, 2),
+        "device_iters_per_s": round(1.0 / device_s_per_iter, 1),
+        "call_overhead_ms": round((t_lo - lo * device_s_per_iter) * 1e3, 1),
         "rre_all_entries": round(float(rre(x_hat, x)), 4),
         "rre_comparable_to_baseline": real,
         "baseline_seconds": BASELINE_SECONDS.get(name),

@@ -119,6 +119,44 @@ def test_admm_early_stop(rng_key):
     assert np.isnan(np.asarray(res.err_hist)[int(res.n_iters):]).all()
 
 
+def test_admm_unroll_identical_trajectory(rng_key):
+    """cfg.unroll changes dispatch structure only: with tol=0 the err/rre
+    histories are IDENTICAL to unroll=1 (same ops, same order)."""
+    x, _ = random_tritd(rng_key, SHAPE, rank=2)
+    o = sparse_outliers(jax.random.fold_in(rng_key, 1), SHAPE, 0.05, 4.0)
+    d = x + o
+    ref = tritd_admm(d, TriTDConfig(rank=2, max_iter=23, tol=0.0), origin=x)
+    got = tritd_admm(
+        d, TriTDConfig(rank=2, max_iter=23, tol=0.0, unroll=4), origin=x
+    )
+    assert int(got.n_iters) == int(ref.n_iters) == 23
+    np.testing.assert_array_equal(
+        np.asarray(got.err_hist), np.asarray(ref.err_hist)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.rre_hist), np.asarray(ref.rre_hist)
+    )
+    assert got.err_hist.shape == (23,)  # padded history is trimmed
+
+
+def test_admm_unroll_early_stop_overshoot_bounded(rng_key):
+    """With early stop active, an unrolled run stops within unroll-1
+    iterations of the unroll=1 stopping point (done is sticky)."""
+    x, _ = random_tritd(rng_key, SHAPE, rank=2)
+    o = sparse_outliers(jax.random.fold_in(rng_key, 1), SHAPE, 0.05, 4.0)
+    d = x + o
+    cfg1 = TriTDConfig(rank=2, max_iter=100, tol=1e-3)
+    cfg4 = TriTDConfig(rank=2, max_iter=100, tol=1e-3, unroll=4)
+    ref = tritd_admm(d, cfg1)
+    got = tritd_admm(d, cfg4)
+    k1, k4 = int(ref.n_iters), int(got.n_iters)
+    assert k1 <= k4 <= k1 + 3
+    np.testing.assert_allclose(
+        np.asarray(got.err_hist[:k1]), np.asarray(ref.err_hist[:k1]),
+        rtol=1e-6,
+    )
+
+
 def test_admm_solve_methods_consistent(rng_key):
     """cholesky vs pinv trajectories agree on a well-conditioned problem."""
     x, _ = random_tritd(rng_key, (12, 13, 14), rank=2)

@@ -438,3 +438,59 @@ class TestProblemAndIO:
             np.asarray(khatrirao(b, a)),
             rtol=1e-6,
         )
+
+
+class TestModeProducts:
+    """Single-mode ttm/ttv — `@tensor/ttm.m`, `@tensor/ttv.m` semantics."""
+
+    def test_ttm_matches_unfold_identity(self, rng_key):
+        from tritd_tpu.ops import ttm
+
+        x = jax.random.normal(rng_key, (4, 5, 6))
+        u = jax.random.normal(jax.random.fold_in(rng_key, 1), (3, 5))
+        got = ttm(x, u, 1)
+        ref = jnp.einsum("ijt,kj->ikt", x, u)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+        # 't' flag: contracts U^T, so U is (n_mode, k) here
+        w = jax.random.normal(jax.random.fold_in(rng_key, 2), (4, 3))
+        got_t = ttm(x, w, 0, transpose=True)
+        ref_t = jnp.einsum("ijt,ik->kjt", x, w)
+        assert got_t.shape == (3, 5, 6)
+        np.testing.assert_allclose(np.asarray(got_t), np.asarray(ref_t), rtol=1e-6)
+
+    def test_ttm_composes_to_tucker_ttm(self, rng_key):
+        from tritd_tpu.ops import ttm
+        from tritd_tpu.ops.decomp import tucker_ttm
+
+        x = jax.random.normal(rng_key, (4, 5, 6))
+        us = [
+            jax.random.normal(jax.random.fold_in(rng_key, i), (3, s))
+            for i, s in enumerate(x.shape)
+        ]
+        seq = x
+        for ax, u in enumerate(us):
+            seq = ttm(seq, u, ax)
+        np.testing.assert_allclose(
+            np.asarray(seq), np.asarray(tucker_ttm(x, us)), rtol=1e-5
+        )
+
+    def test_ttv_single_and_multi(self, rng_key):
+        from tritd_tpu.ops import ttv
+
+        x = jax.random.normal(rng_key, (4, 5, 6))
+        v = jax.random.normal(jax.random.fold_in(rng_key, 1), (5,))
+        got = ttv(x, v, 1)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(jnp.einsum("ijt,j->it", x, v)), rtol=1e-6
+        )
+        vs = [jax.random.normal(jax.random.fold_in(rng_key, i), (s,))
+              for i, s in enumerate(x.shape)]
+        full = ttv(x, vs)  # all modes -> scalar
+        ref = jnp.einsum("ijt,i,j,t->", x, *vs)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(ref), rtol=1e-5)
+        # out-of-order modes
+        part = ttv(x, [vs[2], vs[0]], modes=[2, 0])
+        np.testing.assert_allclose(
+            np.asarray(part), np.asarray(jnp.einsum("ijt,t,i->j", x, vs[2], vs[0])),
+            rtol=1e-5,
+        )

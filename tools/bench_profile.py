@@ -2,15 +2,22 @@
 
 Decomposes the iteration into its pipeline stages (T build, 3x Gram+RHS,
 3x Cholesky solve, reconstruction GEMM, fused elementwise block) and times
-each as a 100x lax.fori_loop with forced sequential dependence, fetching one
-scalar to host as the fence (CLAUDE.md: block_until_ready does not
-synchronize through the axon tunnel).
+each inside a lax.fori_loop with forced sequential dependence.
+
+Timing methodology (round-2 correction): every jit call + host fetch through
+the axon tunnel pays a FIXED ~26 ms round trip (measured: a trivial op, a
+100-step and a 10,000-step scalar loop all cost ~26 ms end-to-end). Naive
+per-call/REPS division therefore reports an RTT artifact, not device time —
+round-1 numbers (BENCH_r01, 2,708 it/s on sensor) were dominated by it. Here
+every stage is timed at TWO repetition counts and the per-iteration cost is
+the DIFFERENCE quotient, which cancels the call overhead exactly.
 
 Usage: python tools/bench_profile.py [n1 n2 n3 [rank]]
 """
 
 from __future__ import annotations
 
+import functools
 import sys
 import time
 
@@ -19,25 +26,37 @@ import jax.numpy as jnp
 import numpy as np
 
 from tritd_tpu.ops import designs, normal_eq
-from tritd_tpu.ops.fold import core_a_from_mat, core_b_from_mat, core_c_from_mat
 from tritd_tpu.ops.pallas_kernels import elementwise_block
 from tritd_tpu.solvers import TriTDConfig, admm_iteration, init_state
 
-REPS = 100
+REPS_LO = 100
+REPS_HI = 1100
 
 
-def timed(name, fn, *args):
+def _best_call(fn, *args, n=3):
     out = fn(*args)
     float(jnp.sum(out[0] if isinstance(out, tuple) else out))  # warm-up fence
     best = float("inf")
-    for _ in range(3):
+    for _ in range(n):
         t0 = time.perf_counter()
         out = fn(*args)
         float(jnp.sum(out[0] if isinstance(out, tuple) else out))
         best = min(best, time.perf_counter() - t0)
-    per_iter_ms = best / REPS * 1e3
-    print(f"{name:28s} {per_iter_ms:8.4f} ms/iter   ({1e3/per_iter_ms:8.1f} it/s)")
-    return per_iter_ms
+    return best
+
+
+def timed(name, make_fn, *args):
+    """make_fn(reps) -> jitted callable; reports the differenced per-iter
+    cost (RTT-free) plus the raw low-rep call time for reference."""
+    t_lo = _best_call(make_fn(REPS_LO), *args)
+    t_hi = _best_call(make_fn(REPS_HI), *args)
+    per_iter_us = (t_hi - t_lo) / (REPS_HI - REPS_LO) * 1e6
+    rate = 1e6 / per_iter_us if per_iter_us > 0 else float("inf")
+    print(
+        f"{name:28s} {per_iter_us:9.2f} us/iter ({rate:10.0f} it/s)"
+        f"   [call@{REPS_LO}: {t_lo*1e3:7.2f} ms]"
+    )
+    return per_iter_us
 
 
 def seq(x):
@@ -48,110 +67,108 @@ def seq(x):
 def main():
     shape = tuple(int(a) for a in sys.argv[1:4]) if len(sys.argv) >= 4 else (77, 77, 2016)
     rank = int(sys.argv[4]) if len(sys.argv) > 4 else 5
-    cfg = TriTDConfig(rank=rank, max_iter=REPS, tol=0.0)
-    print(f"backend={jax.default_backend()} shape={shape} rank={rank} reps={REPS}")
+    print(f"backend={jax.default_backend()} shape={shape} rank={rank} "
+          f"diff quotient over {REPS_LO}->{REPS_HI} reps")
 
     key = jax.random.PRNGKey(0)
     d = jax.random.normal(key, shape, jnp.float32)
-    state = init_state(d, cfg, key)
+    cfg0 = TriTDConfig(rank=rank, max_iter=REPS_LO, tol=0.0)
+    state = init_state(d, cfg0, key)
     a, b, c = state.a, state.b, state.c
     o = 0.01 * d
     e = jnp.zeros_like(d)
     y_l = jnp.zeros_like(d)
     y_o = jnp.zeros_like(d)
-    mu = jnp.asarray(cfg.mu, jnp.float32)
+    mu = jnp.asarray(cfg0.mu, jnp.float32)
     t = d - o + y_l / mu
     l = designs.triple_product(a, b, c)
 
-    # --- full iteration ---------------------------------------------------
-    @jax.jit
-    def full_iter(d, state):
-        def body(_i, s):
-            return admm_iteration(d, s, cfg)
+    # tunnel RTT reference
+    rtt = _best_call(jax.jit(lambda x: x + 1.0), jnp.float32(1.0))
+    print(f"{'tunnel RTT (trivial call)':28s} {rtt*1e3:9.2f} ms/call")
 
-        return jax.lax.fori_loop(0, REPS, body, state).err_hist
-
-    t_full = timed("full admm_iteration", full_iter, d, state)
-
-    # --- T build (1W + 3R pattern appears in situ; here isolated) ----------
-    @jax.jit
-    def t_build(d, o, y_l):
-        def body(_i, acc):
-            tt = d - (o * acc) + y_l / mu
-            return seq(tt)
-
-        return jax.lax.fori_loop(0, REPS, body, jnp.float32(1.0))
-
-    t_t = timed("T = D - O + Y/mu", t_build, d, o, y_l)
-
-    # --- per-mode Gram+RHS --------------------------------------------------
-    comps = {}
-    for mode in (1, 2, 3):
+    # --- full iteration -----------------------------------------------------
+    def make_full(reps):
+        cfg = TriTDConfig(rank=rank, max_iter=reps, tol=0.0)
 
         @jax.jit
-        def gram_rhs(t, a, b, c, mode=mode):
-            def body(_i, acc):
-                k, rhs = normal_eq.gram_and_rhs(mode, t * acc, a, b, c)
-                return seq(rhs) * seq(k)
+        def full_iter(d, st):
+            def body(_i, s):
+                return admm_iteration(d, s, cfg)
 
-            return jax.lax.fori_loop(0, REPS, body, jnp.float32(1.0))
+            return jax.lax.fori_loop(0, reps, body, st).err_hist
 
-        comps[f"gram+rhs mode {mode}"] = timed(
-            f"gram+rhs mode {mode}", gram_rhs, t, a, b, c
+        return full_iter
+
+    def full_with_state(reps):
+        fn = make_full(reps)
+        cfg = TriTDConfig(rank=rank, max_iter=reps, tol=0.0)
+        st = init_state(d, cfg, key)
+        return lambda dd: fn(dd, st)
+
+    t_full = timed("full admm_iteration", full_with_state, d)
+
+    def stage(name, body_fn, *args):
+        def make(reps):
+            @jax.jit
+            def loop(*inner):
+                def body(_i, acc):
+                    return body_fn(acc, *inner)
+
+                return jax.lax.fori_loop(0, reps, body, jnp.float32(1.0))
+
+            return loop
+
+        return timed(name, make, *args)
+
+    parts = {}
+    parts["T build"] = stage(
+        "T = D - O + Y/mu",
+        lambda acc, d, o, y_l: seq(d - o * acc + y_l / mu),
+        d, o, y_l,
+    )
+    for mode in (1, 2, 3):
+        parts[f"gram+rhs {mode}"] = stage(
+            f"gram+rhs mode {mode}",
+            functools.partial(
+                lambda acc, t, a, b, c, mode: (
+                    lambda kr: seq(kr[0]) * seq(kr[1])
+                )(normal_eq.gram_and_rhs(mode, t * acc, a, b, c)),
+                mode=mode,
+            ),
+            t, a, b, c,
         )
-
-    # --- solves --------------------------------------------------------------
     k1, rhs1 = normal_eq.gram_and_rhs(1, t, a, b, c)
+    parts["solve"] = stage(
+        "cholesky solve x1",
+        lambda acc, k1, rhs1: seq(normal_eq.ridge_solve(k1 * acc, rhs1, 1e-3)),
+        k1, rhs1,
+    )
+    parts["recon"] = stage(
+        "triple_product",
+        lambda acc, a, b, c: seq(designs.triple_product(a * acc, b, c)),
+        a, b, c,
+    )
 
-    @jax.jit
-    def solves(k1, rhs1):
-        def body(_i, acc):
-            sol = normal_eq.ridge_solve(k1 * acc, rhs1, 1e-3)
-            return seq(sol)
+    def elem_body(acc, d, l, e, y_l, y_o):
+        o2, e2, yl2, yo2, sl, so = elementwise_block(
+            d, l * acc, e, y_l, y_o, mu, mu, cfg0.lambda_l1, use_pallas=False
+        )
+        return seq(o2) * seq(e2) * seq(yl2) * seq(yo2) + sl * 1e-30 + so * 1e-30
 
-        return jax.lax.fori_loop(0, REPS, body, jnp.float32(1.0))
+    parts["elementwise"] = stage("elementwise block", elem_body, d, l, e, y_l, y_o)
 
-    comps["cholesky solve x1"] = timed("cholesky solve x1", solves, k1, rhs1)
+    def bf16_body(acc, t, a, b, c):
+        k, rhs = normal_eq.gram_and_rhs(1, t * acc, a, b, c, einsum_dtype=jnp.bfloat16)
+        return seq(rhs) * seq(k)
 
-    # --- reconstruction -------------------------------------------------------
-    @jax.jit
-    def recon(a, b, c):
-        def body(_i, acc):
-            ll = designs.triple_product(a * acc, b, c)
-            return seq(ll)
+    stage("gram+rhs mode 1 (bf16)", bf16_body, t, a, b, c)
 
-        return jax.lax.fori_loop(0, REPS, body, jnp.float32(1.0))
-
-    comps["triple_product"] = timed("triple_product", recon, a, b, c)
-
-    # --- elementwise block -----------------------------------------------------
-    @jax.jit
-    def elem(d, l, e, y_l, y_o):
-        def body(_i, acc):
-            o2, e2, yl2, yo2, sl, so = elementwise_block(
-                d, l * acc, e, y_l, y_o, mu, mu, cfg.lambda_l1, use_pallas=False
-            )
-            return seq(o2) * seq(e2) * seq(yl2) * seq(yo2) + sl * 1e-30 + so * 1e-30
-
-        return jax.lax.fori_loop(0, REPS, body, jnp.float32(1.0))
-
-    comps["elementwise block"] = timed("elementwise block", elem, d, l, e, y_l, y_o)
-
-    # --- bf16 RHS variant -------------------------------------------------------
-    @jax.jit
-    def gram_rhs_bf16(t, a, b, c):
-        def body(_i, acc):
-            k, rhs = normal_eq.gram_and_rhs(
-                1, t * acc, a, b, c, einsum_dtype=jnp.bfloat16
-            )
-            return seq(rhs) * seq(k)
-
-        return jax.lax.fori_loop(0, REPS, body, jnp.float32(1.0))
-
-    timed("gram+rhs mode 1 (bf16)", gram_rhs_bf16, t, a, b, c)
-
-    total = t_t + sum(comps.values())
-    print(f"{'sum of parts':28s} {total:8.4f} ms/iter  vs full {t_full:.4f}")
+    total = parts["T build"] + sum(
+        v for k, v in parts.items() if k != "T build"
+    ) + 2 * parts["solve"]  # 3 solves total; one measured
+    print(f"{'sum of parts (3x solve)':28s} {total:9.2f} us/iter  "
+          f"vs full {t_full:.2f} us/iter")
 
 
 if __name__ == "__main__":

@@ -109,19 +109,27 @@ def triple_product(
     Computed as one (n1, r^2) x (r^2, n2*n3) GEMM after a cheap r^2-scale
     pre-contraction, the MXU-friendly layout of
     `fast_robust_triple_tensor/triple_product.m:6-7`.
+
+    The pre-contraction emits W with (j, t) column order so the GEMM output
+    reshapes STRAIGHT to (n1, n2, n3): the previous (t, j) order (chosen to
+    mirror unfold/build_f columns) forced an (n1, n3, n2) transpose that
+    measured 10x the GEMM's own cost on TPU (sensor shape: 46 -> 4.5 us;
+    strided small-minor-dim relayouts are the worst case for the VPU).
+    The contraction order — and therefore every bit of the result — is
+    unchanged.
     """
     _check_variant(variant)
     n1, r, _ = a.shape
     _, n2, _ = b.shape
     _, _, n3 = c.shape
     if variant == "hadamard":
-        # W[(q,s), (t,j)] = B[q,j,s] * C[q,s,t]  — cost O(r^2 n2 n3)
-        w = jnp.einsum("qjs,qst->qstj", b, c).reshape(r * r, n3 * n2)
+        # W[(q,s), (j,t)] = B[q,j,s] * C[q,s,t]  — cost O(r^2 n2 n3)
+        w = jnp.einsum("qjs,qst->qsjt", b, c).reshape(r * r, n2 * n3)
     else:
-        # W[(q,s), (t,j)] = sum_p B[p,j,s] C[p,q,t]  — cost O(r^3 n2 n3)
-        w = jnp.einsum("pjs,pqt->qstj", b, c).reshape(r * r, n3 * n2)
+        # W[(q,s), (j,t)] = sum_p B[p,j,s] C[p,q,t]  — cost O(r^3 n2 n3)
+        w = jnp.einsum("pjs,pqt->qsjt", b, c).reshape(r * r, n2 * n3)
     l1 = a.reshape(n1, r * r) @ w  # O(n1 n2 n3 r^2) GEMM on the MXU
-    return l1.reshape(n1, n3, n2).transpose(0, 2, 1)
+    return l1.reshape(n1, n2, n3)
 
 
 def triple_product_naive(

@@ -26,7 +26,10 @@ def sp_full(vals: jnp.ndarray, coords: jnp.ndarray, shape) -> jnp.ndarray:
     """Dense tensor from COO — ``full(sptensor)``. Duplicates accumulate."""
     shape = tuple(int(s) for s in shape)
     flat_idx = sp_sub2ind(coords, shape)
-    out = jnp.zeros((int(jnp.prod(jnp.array(shape))),), vals.dtype)
+    total = 1
+    for s in shape:
+        total *= s  # python-level: shape is static, keeps this jit-safe
+    out = jnp.zeros((total,), vals.dtype)
     out = out.at[flat_idx].add(vals)
     return out.reshape(shape)
 

@@ -22,6 +22,38 @@ from .decomp import tucker_ttm
 from .kruskal import cp_normalize, ktensor_full
 
 
+def ttm(x: jnp.ndarray, u: jnp.ndarray, mode: int, transpose: bool = False) -> jnp.ndarray:
+    """Single-mode tensor-times-matrix — Tensor Toolbox ``ttm(X, U, n)``
+    (``@tensor/ttm.m``): contracts U (or Uᵀ with the toolbox's 't' flag)
+    against mode `mode` (0-based), replacing that dimension. N-way."""
+    if transpose:
+        u = u.T
+    moved = jnp.moveaxis(x, mode, 0)
+    out = jnp.tensordot(u, moved, axes=([1], [0]))
+    return jnp.moveaxis(out, 0, mode)
+
+
+def ttv(x: jnp.ndarray, vecs, modes=None) -> jnp.ndarray:
+    """Tensor-times-vector(s) — Tensor Toolbox ``ttv(X, v, n)`` /
+    ``ttv(X, {v1..vk}, dims)`` (``@tensor/ttv.m``): contracts each vector
+    along its mode and DROPS that mode. `vecs` is one vector or a sequence;
+    `modes` defaults to the first len(vecs) modes, like the toolbox."""
+    if isinstance(vecs, jnp.ndarray) and vecs.ndim == 1:
+        vecs = [vecs]
+        modes = [0 if modes is None else int(modes)]
+    else:
+        vecs = list(vecs)
+        modes = (
+            list(range(len(vecs)))
+            if modes is None
+            else [int(m) for m in modes]
+        )
+    # contract highest mode first so earlier mode indices stay valid
+    for m, v in sorted(zip(modes, vecs), key=lambda p: -p[0]):
+        x = jnp.tensordot(x, v, axes=([m], [0]))
+    return x
+
+
 # ---------------------------------------------------------------- constructors
 
 

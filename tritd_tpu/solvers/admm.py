@@ -166,9 +166,12 @@ def admm_iteration(
     else:
         rre_hist = state.rre_hist
 
-    # relative-change stopping rule (`:63-65`)
+    # relative-change stopping rule (`:63-65`); sticky so that unrolled
+    # blocks (cfg.unroll > 1) cannot un-converge mid-block
     err_prev = err_hist[jnp.maximum(k - 1, 0)]
-    done = (k >= 1) & (jnp.abs(err - err_prev) < cfg.tol * err_prev)
+    done = state.done | (
+        (k >= 1) & (jnp.abs(err - err_prev) < cfg.tol * err_prev)
+    )
 
     return TriTDState(
         a=a, b=b, c=c, o=o, e=e, y_l=y_l, y_o=y_o, t=t_next,
@@ -184,7 +187,11 @@ def init_state(
     d = d.astype(dtype)
     a, b, c = init_factors(key, d.shape, cfg.rank, dtype)
     zeros = jnp.zeros_like(d)
-    nan_hist = jnp.full((cfg.max_iter,), jnp.nan, dtype)
+    # histories padded to a multiple of cfg.unroll so an unrolled block can
+    # overshoot max_iter by up to unroll-1 without out-of-bounds scatters
+    # (which would silently clamp onto the last entry on TPU)
+    hist_len = -(-cfg.max_iter // cfg.unroll) * cfg.unroll
+    nan_hist = jnp.full((hist_len,), jnp.nan, dtype)
     # T_0 = D - 0 + 0/mu = D (stored in the einsum dtype when set).
     ed = cfg.jnp_einsum_dtype()
     t0 = d if ed is None else d.astype(ed)
@@ -214,15 +221,23 @@ def _admm_run(d, mask, origin, key, cfg: TriTDConfig, has_mask, has_origin):
         return (state.k < cfg.max_iter) & ~state.done
 
     def body(state: TriTDState):
-        return admm_iteration(
-            d, state, cfg, mask=mask, origin=origin,
-            norm_d=norm_d, norm_origin=norm_origin,
-        )
+        # cfg.unroll iterations per loop step: the stopping rule is only
+        # consulted between blocks (done is sticky inside admm_iteration),
+        # trading <= unroll-1 extra convergent iterations for a shorter
+        # dispatch chain on latency-bound small problems.
+        for _ in range(cfg.unroll):
+            state = admm_iteration(
+                d, state, cfg, mask=mask, origin=origin,
+                norm_d=norm_d, norm_origin=norm_origin,
+            )
+        return state
 
     final = jax.lax.while_loop(cond, body, state0)
     return TriTDResult(
         a=final.a, b=final.b, c=final.c, o=final.o, e=final.e,
-        err_hist=final.err_hist, rre_hist=final.rre_hist, n_iters=final.k,
+        err_hist=final.err_hist[: cfg.max_iter],
+        rre_hist=final.rre_hist[: cfg.max_iter],
+        n_iters=jnp.minimum(final.k, cfg.max_iter),
     )
 
 

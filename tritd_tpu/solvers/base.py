@@ -45,6 +45,15 @@ class TriTDConfig:
     einsum_dtype: str | None = None  # optional "bfloat16" input precision for
                                      # the O(n^3 r^2) RHS contractions (f32
                                      # accumulation); None = full float32
+    unroll: int = 1                 # iterations per while_loop step. >1
+                                    # amortizes the loop/dispatch latency
+                                    # floor that dominates SMALL problems
+                                    # (sensor/network) and lets XLA pipeline
+                                    # across iterations. The stopping rule is
+                                    # checked every `unroll` iterations, so an
+                                    # early-stopped run may do up to unroll-1
+                                    # extra (convergent) iterations; the
+                                    # trajectory is otherwise unchanged.
 
     def jnp_einsum_dtype(self):
         return None if self.einsum_dtype is None else jnp.dtype(self.einsum_dtype)
