@@ -494,3 +494,43 @@ class TestModeProducts:
             np.asarray(part), np.asarray(jnp.einsum("ijt,t,i->j", x, vs[2], vs[0])),
             rtol=1e-5,
         )
+
+
+class TestSshopmc:
+    """eig_sshopmc — complex shifted power method (`eig_sshopmc.m:93-103`)."""
+
+    def _sym4(self, n=4, seed=0):
+        import itertools
+
+        rng = np.random.default_rng(seed)
+        a0 = rng.normal(size=(n,) * 4)
+        return jnp.asarray(
+            sum(a0.transpose(p) for p in itertools.permutations(range(4))) / 24.0,
+            jnp.float32,
+        )
+
+    def test_real_eigenpair_matches_sshopm(self, rng_key):
+        from tritd_tpu.ops import eig_sshopm, eig_sshopmc
+
+        a = self._sym4()
+        real = eig_sshopm(a, shift=6.0, max_iters=2000, tol=1e-10)
+        # start at the real solution: sshopmc must stay there
+        out = eig_sshopmc(
+            a, shift=6.0, max_iters=2000, tol=1e-10,
+            x0=real["eigvec"].astype(jnp.complex64),
+        )
+        assert bool(out["converged"])
+        np.testing.assert_allclose(
+            float(jnp.real(out["eigval"])), float(real["eigval"]), rtol=1e-4
+        )
+        assert abs(float(jnp.imag(out["eigval"]))) < 1e-4
+
+    def test_residual_is_eigenpair(self, rng_key):
+        from tritd_tpu.ops import eig_sshopmc
+        from tritd_tpu.ops.symmetric import ttsv
+
+        a = self._sym4(seed=3)
+        out = eig_sshopmc(a, shift=4.0, max_iters=5000, tol=1e-12, key=rng_key)
+        x, lam = out["eigvec"], out["eigval"]
+        resid = ttsv(a.astype(x.dtype), x, 1) - lam * x
+        assert float(jnp.linalg.norm(resid)) < 5e-3

@@ -114,6 +114,59 @@ def eig_sshopm(
     return {"eigval": lam, "eigvec": x, "converged": delta < tol, "n_iters": iters}
 
 
+@functools.partial(jax.jit, static_argnames=("max_iters", "tol"))
+def _sshopmc_run(a, x0, shift, max_iters: int, tol: float):
+    rdtype = jnp.real(x0).dtype
+
+    def body(carry):
+        x, lam, _delta, it = carry
+        newx = (ttsv(a, x, 1) + shift * x) / (lam + shift)
+        nx = jnp.linalg.norm(newx)
+        # flag -1 (zero iterate) surfaces as a NaN eigenpair, the jit-safe
+        # analogue of the reference's hard break
+        newx = newx / jnp.where(nx < jnp.finfo(rdtype).eps, jnp.nan, nx)
+        newlam = jnp.vdot(newx, ttsv(a, newx, 1))
+        delta = jnp.abs(jnp.abs(newlam) - jnp.abs(lam))
+        return newx, newlam, delta, it + 1
+
+    def cond(carry):
+        return (carry[3] < max_iters) & (carry[2] >= tol)
+
+    x0 = x0 / jnp.linalg.norm(x0)
+    lam0 = jnp.vdot(x0, ttsv(a, x0, 1))
+    init = (x0, lam0, jnp.asarray(jnp.inf, rdtype), jnp.asarray(0, jnp.int32))
+    x, lam, delta, iters = jax.lax.while_loop(cond, body, init)
+    return lam, x, delta, iters
+
+
+def eig_sshopmc(
+    a: jnp.ndarray,
+    shift: float = 0.0,
+    max_iters: int = 1000,
+    tol: float = 1e-10,
+    key=None,
+    x0=None,
+):
+    """Shifted power method for a REAL/COMPLEX eigenpair ``Axᵐ⁻¹ = λx`` of a
+    real symmetric tensor — ``eig_sshopmc.m`` semantics (complex iterate,
+    update newx = (Axᵐ⁻¹ + αx)/(λ + α) at `:93-94`, λ = xᴴAxᵐ⁻¹ at `:101`,
+    stop on ||λ|−|λ_old|| < tol at `:103`; complex random start `:68`).
+    Returns dict with complex eigval/eigvec."""
+    if x0 is None:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        kr, ki = jax.random.split(key)
+        x0 = (
+            2.0 * jax.random.uniform(kr, (a.shape[0],), a.dtype) - 1.0
+        ) + 1j * jax.random.normal(ki, (a.shape[0],), a.dtype)
+    x0 = jnp.asarray(x0, jnp.complex64 if a.dtype == jnp.float32 else jnp.complex128)
+    a = a.astype(x0.dtype)
+    lam, x, delta, iters = _sshopmc_run(
+        a, x0, jnp.asarray(shift, x0.dtype), max_iters, tol
+    )
+    return {"eigval": lam, "eigvec": x, "converged": delta < tol, "n_iters": iters}
+
+
 @functools.partial(jax.jit, static_argnames=("concave", "max_iters", "tol"))
 def _geap_run(a, b, x0, shift, concave: bool, max_iters: int, tol: float):
     beta = -1.0 if concave else 1.0
