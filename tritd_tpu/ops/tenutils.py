@@ -54,6 +54,81 @@ def ttv(x: jnp.ndarray, vecs, modes=None) -> jnp.ndarray:
     return x
 
 
+def ttt(a: jnp.ndarray, b: jnp.ndarray, adims=None, bdims=None) -> jnp.ndarray:
+    """Tensor-times-tensor — Tensor Toolbox ``ttt(A, B[, adims[, bdims]])``
+    (``@tensor/ttt.m``): with no dims the outer product, with dims the
+    contraction of A's `adims` against B's `bdims` (defaulting to `adims`,
+    as the toolbox does); contracting every mode yields the scalar inner
+    product. Modes are 0-based. The result's modes are A's remaining modes
+    followed by B's remaining modes (the toolbox's tenmat row/col order)."""
+    if adims is None:
+        adims = ()
+    adims = (adims,) if isinstance(adims, int) else tuple(adims)
+    bdims = adims if bdims is None else (
+        (bdims,) if isinstance(bdims, int) else tuple(bdims)
+    )
+    if len(adims) == 0:
+        return jnp.tensordot(a, b, axes=0)
+    return jnp.tensordot(a, b, axes=(list(adims), list(bdims)))
+
+
+def nvecs(x: jnp.ndarray, mode: int, r: int, flipsign: bool = True) -> jnp.ndarray:
+    """Leading-r eigenvectors of the mode-`mode` unfolding Gram Xn·Xnᵀ —
+    ``@tensor/nvecs.m`` (eigs 'LM' branch). Dense symmetric eigendecomposition
+    instead of Lanczos: the Gram is (n_mode × n_mode), small by construction.
+    `flipsign` makes each column's largest-|.|-entry positive, as the
+    toolbox default does."""
+    xn = jnp.moveaxis(x, mode, 0).reshape(x.shape[mode], -1)
+    w, v = jnp.linalg.eigh(xn @ xn.T)  # ascending
+    u = v[:, ::-1][:, :r]
+    if flipsign:
+        mx = jnp.argmax(jnp.abs(u), axis=0)
+        s = jnp.sign(u[mx, jnp.arange(u.shape[1])])
+        u = u * jnp.where(s == 0, 1.0, s)[None, :]
+    return u
+
+
+def collapse(x: jnp.ndarray, dims=None, fun=jnp.sum) -> jnp.ndarray:
+    """Reduce over `dims` with `fun` (default sum) — ``@tensor/collapse.m``.
+    `fun` is any reduction accepting an `axis` argument (jnp.sum, jnp.max,
+    jnp.mean, ...); collapsing every mode returns a scalar."""
+    if dims is None:
+        dims = tuple(range(x.ndim))
+    dims = (dims,) if isinstance(dims, int) else tuple(dims)
+    if len(dims) == 0:
+        return x
+    return fun(x, axis=dims)
+
+
+def contract(x: jnp.ndarray, i: int, j: int) -> jnp.ndarray:
+    """Trace over modes `i` and `j` (equal size, distinct) —
+    ``@tensor/contract.m``."""
+    if i == j:
+        raise ValueError("must contract along two different dimensions")
+    if x.shape[i] != x.shape[j]:
+        raise ValueError("must contract along equally sized dimensions")
+    return jnp.trace(x, axis1=i, axis2=j)
+
+
+def scale(x: jnp.ndarray, s: jnp.ndarray, dims) -> jnp.ndarray:
+    """Scale the fibers of `x` lying in modes `dims` elementwise by the
+    tensor `s` of shape ``x.shape[dims]`` — ``@tensor/scale.m``. A vector
+    `s` with ``dims=k`` rescales mode-k slices; a full-shape `s` with all
+    dims is a Hadamard product."""
+    dims = (dims,) if isinstance(dims, int) else tuple(dims)
+    s = jnp.asarray(s)
+    expect = tuple(x.shape[d] for d in dims)
+    if s.shape != expect:
+        raise ValueError(f"scale factor shape {s.shape} != {expect}")
+    # align s's axes with x's dims (dims may be unordered), broadcast the rest
+    pairs = sorted(zip(dims, range(len(dims))))
+    s = jnp.transpose(s, [k for _, k in pairs])
+    shape = [1] * x.ndim
+    for d, _ in pairs:
+        shape[d] = x.shape[d]
+    return x * s.reshape(shape)
+
+
 # ---------------------------------------------------------------- constructors
 
 
