@@ -301,3 +301,29 @@ def test_checkpointed_solver_matches_and_resumes(tmp_path, rng_key):
         np.asarray(resumed.err_hist), np.asarray(full_by_tens.err_hist),
         rtol=0, atol=0,
     )
+
+
+def test_checkpointed_resume_bf16_storage(tmp_path, rng_key):
+    """Crash/resume under cfg.storage_dtype="bfloat16": the checkpoint
+    round-trips the narrow fields and the resumed trajectory matches the
+    uninterrupted segmented run exactly (save/load is bitwise)."""
+    from tritd_tpu.data.synthetic import random_tritd, sparse_outliers
+    from tritd_tpu.solvers import tritd_admm_checkpointed
+
+    shape = (10, 11, 12)
+    x, _ = random_tritd(rng_key, shape, rank=2)
+    o = sparse_outliers(jax.random.fold_in(rng_key, 2), shape, 0.05, 4.0)
+    d = x + o
+    cfg = TriTDConfig(rank=2, max_iter=30, tol=0.0, storage_dtype="bfloat16")
+
+    full = tritd_admm_checkpointed(d, cfg, str(tmp_path / "full16"), every=10)
+    cfg_short = TriTDConfig(rank=2, max_iter=15, tol=0.0, storage_dtype="bfloat16")
+    tritd_admm_checkpointed(d, cfg_short, str(tmp_path / "crash16"), every=10)
+    resumed = tritd_admm_checkpointed(
+        d, cfg, str(tmp_path / "crash16"), every=10, resume=True
+    )
+    assert int(resumed.n_iters) == 30
+    np.testing.assert_array_equal(
+        np.asarray(resumed.err_hist), np.asarray(full.err_hist)
+    )
+    assert resumed.o.dtype == jnp.float32  # results widen back

@@ -198,3 +198,36 @@ def test_admm_jit_cache_reuse(rng_key):
     misses_before = _admm_run._cache_size()
     tritd_admm(x + 1.0, cfg)
     assert _admm_run._cache_size() == misses_before
+
+
+def test_admm_bf16_storage_matches_f32(rng_key):
+    """cfg.storage_dtype="bfloat16": same recovery quality as f32 storage
+    (compute stays f32 — only the HBM representation of D/O/E/Y narrows),
+    and the returned tensors come back in the solver dtype."""
+    k1, k2, k3 = jax.random.split(rng_key, 3)
+    x, _ = random_tritd(k1, SHAPE, rank=2, scale=1.0)
+    o = sparse_outliers(k2, SHAPE, density=0.05, magnitude=5.0)
+    d = x + o
+    base = dict(rank=2, max_iter=80, tol=1e-7, lambda_l1=0.1)
+    res32 = tritd_admm(d, TriTDConfig(**base), key=k3, origin=x)
+    res16 = tritd_admm(
+        d, TriTDConfig(**base, storage_dtype="bfloat16"), key=k3, origin=x
+    )
+    assert res16.o.dtype == jnp.float32
+    assert res16.e.dtype == jnp.float32
+    rre32 = float(rre(triple_product(res32.a, res32.b, res32.c), x))
+    rre16 = float(rre(triple_product(res16.a, res16.b, res16.c), x))
+    assert rre16 < 0.1
+    # bf16 carries ~3 decimal digits; trajectories stay in family
+    assert abs(rre16 - rre32) < 0.03
+    hist16 = trim_history(res16.err_hist, res16.n_iters)
+    assert np.isfinite(hist16).all()
+
+
+def test_admm_bf16_storage_masked_mode(rng_key):
+    """Narrow storage composes with masked imputation."""
+    prob = make_completion_problem(rng_key, shape=SHAPE, rank=2, missing_ratio=0.3)
+    cfg = TriTDConfig(rank=2, max_iter=60, tol=1e-7, masked=True,
+                      storage_dtype="bfloat16")
+    res = tritd_admm(prob["y"], cfg, mask=prob["mask"], origin=prob["x"])
+    assert float(rre(triple_product(res.a, res.b, res.c), prob["x"])) < 0.12

@@ -42,7 +42,13 @@ _TILE_ROWS = 256
 _TILE_COLS = 512
 
 
-def _block_jnp(d, l, e, y_l, y_o, mu_l, mu_o, lam):
+def _block_jnp(d, l, e, y_l, y_o, mu_l, mu_o, lam,
+               compute_dtype=None, store_dtype=None):
+    if compute_dtype is not None:
+        # narrow-storage mode: HBM loads are half-width, the convert fuses
+        # into the load; all arithmetic (incl. the norm accumulators) runs
+        # in the wide dtype in registers.
+        d, l, e, y_l, y_o = (x.astype(compute_dtype) for x in (d, l, e, y_l, y_o))
     r1 = d - l + y_l / mu_l
     r2 = e - y_o / mu_o
     o = (mu_l * r1 + mu_o * r2) / (mu_l + mu_o)
@@ -53,6 +59,10 @@ def _block_jnp(d, l, e, y_l, y_o, mu_l, mu_o, lam):
     y_o_new = y_o + mu_o * res_o
     nl = jnp.sum(res_l * res_l)
     no = jnp.sum(res_o * res_o)
+    if store_dtype is not None:
+        o, e_new, y_l_new, y_o_new = (
+            x.astype(store_dtype) for x in (o, e_new, y_l_new, y_o_new)
+        )
     return o, e_new, y_l_new, y_o_new, nl, no
 
 
@@ -149,12 +159,25 @@ def _block_pallas(d, l, e, y_l, y_o, scalars, interpret=False):
 
 def elementwise_block(
     d, l, e, y_l, y_o, mu_l, mu_o, lam, use_pallas: bool = False,
-    interpret: bool = False,
+    interpret: bool = False, compute_dtype=None, store_dtype=None,
 ):
     """Fused O/E/dual/residual update. Returns
-    (o, e_new, y_l_new, y_o_new, ||res_l||^2, ||res_o||^2)."""
+    (o, e_new, y_l_new, y_o_new, ||res_l||^2, ||res_o||^2).
+
+    compute_dtype/store_dtype support the solver's narrow-storage mode
+    (cfg.storage_dtype): inputs upcast on load, the four tensor outputs
+    downcast on store, norms stay in compute_dtype. The Pallas path does
+    not implement the mixed-dtype variant — callers route narrow-storage
+    runs through the XLA fusion (which handles it at full bandwidth)."""
     if not use_pallas:
-        return _block_jnp(d, l, e, y_l, y_o, mu_l, mu_o, lam)
+        return _block_jnp(
+            d, l, e, y_l, y_o, mu_l, mu_o, lam,
+            compute_dtype=compute_dtype, store_dtype=store_dtype,
+        )
+    if compute_dtype is not None or store_dtype is not None:
+        raise NotImplementedError(
+            "narrow-storage elementwise block is XLA-only (use_pallas=False)"
+        )
     scalars = jnp.stack(
         [jnp.asarray(mu_l, d.dtype), jnp.asarray(mu_o, d.dtype),
          jnp.asarray(lam, d.dtype)]

@@ -44,6 +44,17 @@ from ..ops.pallas_kernels import elementwise_block
 from .base import TriTDConfig, TriTDResult, TriTDState
 
 
+def t_dtype_of(cfg: TriTDConfig):
+    """Dtype the carried factor-solve target `t` is stored in: the einsum
+    dtype when set, else the narrow storage dtype when set, else None
+    (= cfg.dtype). Shared with checkpoint load so resume carries match."""
+    ed = cfg.jnp_einsum_dtype()
+    if ed is not None:
+        return ed
+    sd = cfg.jnp_storage_dtype()
+    return sd if sd != cfg.jnp_dtype() else None
+
+
 def init_factors(
     key: jax.Array, shape: tuple[int, int, int], rank: int, dtype
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -108,11 +119,11 @@ def admm_iteration(
         # instead of using the carried state.t (which the unmasked fast path
         # produces inside the previous iteration's elementwise fusion).
         l_prev = designs.triple_product(a, b, c, variant=cfg.variant)
-        d = jnp.where(mask, d, l_prev + o)
-        t = d - o + y_l / mu_l
-        ed = cfg.jnp_einsum_dtype()
-        if ed is not None:
-            t = t.astype(ed)
+        d = jnp.where(mask, d, l_prev + o.astype(l_prev.dtype))
+        t = d - o.astype(d.dtype) + y_l.astype(d.dtype) / mu_l
+        td = t_dtype_of(cfg)
+        if td is not None:
+            t = t.astype(td)
     else:
         t = state.t
 
@@ -122,9 +133,13 @@ def admm_iteration(
 
     # 2) O averaging, 3) E shrinkage, 4) dual ascent + residual norms,
     # fused into one HBM pass on TPU (ops/pallas_kernels.py)
-    use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
+    sd = cfg.jnp_storage_dtype()
+    narrow = sd != cfg.jnp_dtype()
+    use_pallas = cfg.use_pallas and jax.default_backend() == "tpu" and not narrow
     o, e, y_l, y_o, sq_l, sq_o = elementwise_block(
-        d, l, e, y_l, y_o, mu_l, mu_o, cfg.lambda_l1, use_pallas=use_pallas
+        d, l, e, y_l, y_o, mu_l, mu_o, cfg.lambda_l1, use_pallas=use_pallas,
+        compute_dtype=cfg.jnp_dtype() if narrow else None,
+        store_dtype=sd if narrow else None,
     )
 
     # 5) penalty annealing with the mu*1e6 cap (`:55-57`)
@@ -141,10 +156,11 @@ def admm_iteration(
     if cfg.masked and mask is not None:
         t_next = state.t
     else:
-        t_next = d - o + y_l / mu_l
-        ed = cfg.jnp_einsum_dtype()
-        if ed is not None:
-            t_next = t_next.astype(ed)
+        cd = cfg.jnp_dtype()
+        t_next = d.astype(cd) - o.astype(cd) + y_l.astype(cd) / mu_l
+        td = t_dtype_of(cfg)
+        if td is not None:
+            t_next = t_next.astype(td)
 
     err = (jnp.sqrt(sq_l) + jnp.sqrt(sq_o)) / norm_d
     if cfg.disp:
@@ -186,15 +202,17 @@ def init_state(
     dtype = cfg.jnp_dtype()
     d = d.astype(dtype)
     a, b, c = init_factors(key, d.shape, cfg.rank, dtype)
-    zeros = jnp.zeros_like(d)
+    # Data-sized state lives in the (possibly narrow) storage dtype; factors,
+    # penalties and histories stay in the solver dtype.
+    zeros = jnp.zeros(d.shape, cfg.jnp_storage_dtype())
     # histories padded to a multiple of cfg.unroll so an unrolled block can
     # overshoot max_iter by up to unroll-1 without out-of-bounds scatters
     # (which would silently clamp onto the last entry on TPU)
     hist_len = -(-cfg.max_iter // cfg.unroll) * cfg.unroll
     nan_hist = jnp.full((hist_len,), jnp.nan, dtype)
-    # T_0 = D - 0 + 0/mu = D (stored in the einsum dtype when set).
-    ed = cfg.jnp_einsum_dtype()
-    t0 = d if ed is None else d.astype(ed)
+    # T_0 = D - 0 + 0/mu = D (stored in the carried-t dtype when set).
+    td = t_dtype_of(cfg)
+    t0 = d if td is None else d.astype(td)
     return TriTDState(
         a=a, b=b, c=c,
         o=zeros, e=zeros, y_l=zeros, y_o=zeros, t=t0,
@@ -216,6 +234,10 @@ def _admm_run(d, mask, origin, key, cfg: TriTDConfig, has_mask, has_origin):
         jnp.linalg.norm(origin.ravel()) if has_origin else None
     )
     state0 = init_state(d, cfg, key)
+    # Narrow-storage mode: the loop reads D every iteration (elementwise
+    # block + carried-t build), so store it narrow too; norm_d above is
+    # computed from the full-precision copy.
+    d = d.astype(cfg.jnp_storage_dtype())
 
     def cond(state: TriTDState):
         return (state.k < cfg.max_iter) & ~state.done
@@ -233,8 +255,10 @@ def _admm_run(d, mask, origin, key, cfg: TriTDConfig, has_mask, has_origin):
         return state
 
     final = jax.lax.while_loop(cond, body, state0)
+    # Hand narrow-stored tensors back in the solver dtype (one-time cast).
     return TriTDResult(
-        a=final.a, b=final.b, c=final.c, o=final.o, e=final.e,
+        a=final.a, b=final.b, c=final.c,
+        o=final.o.astype(dtype), e=final.e.astype(dtype),
         err_hist=final.err_hist[: cfg.max_iter],
         rre_hist=final.rre_hist[: cfg.max_iter],
         n_iters=jnp.minimum(final.k, cfg.max_iter),

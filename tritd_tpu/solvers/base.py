@@ -45,6 +45,19 @@ class TriTDConfig:
     einsum_dtype: str | None = None  # optional "bfloat16" input precision for
                                      # the O(n^3 r^2) RHS contractions (f32
                                      # accumulation); None = full float32
+    storage_dtype: str | None = None  # optional "bfloat16" HBM storage for
+                                      # the data-sized tensors (D, O, E, Y_L,
+                                      # Y_O, L). The elementwise block loads
+                                      # them, UPCASTS to the solver dtype in
+                                      # registers, computes, and downcasts the
+                                      # stores — norms, duals' arithmetic and
+                                      # the mode solves stay f32, so only the
+                                      # HBM representation narrows. Halves the
+                                      # bandwidth of the roofline-bound
+                                      # elementwise pass; adds ~0.4% relative
+                                      # rounding per carried value, which the
+                                      # ADMM feedback absorbs (tests pin RRE
+                                      # parity). None = store in cfg.dtype.
     unroll: int = 1                 # iterations per while_loop step. >1
                                     # amortizes the loop/dispatch latency
                                     # floor that dominates SMALL problems
@@ -57,6 +70,10 @@ class TriTDConfig:
 
     def jnp_einsum_dtype(self):
         return None if self.einsum_dtype is None else jnp.dtype(self.einsum_dtype)
+
+    def jnp_storage_dtype(self):
+        """HBM dtype of the data-sized tensors (falls back to cfg.dtype)."""
+        return jnp.dtype(self.dtype if self.storage_dtype is None else self.storage_dtype)
 
     def jnp_dtype(self):
         return jnp.dtype(self.dtype)

@@ -27,6 +27,7 @@ def run_segment(
     """Advance the solver to iteration min(k_end, max_iter) or convergence."""
     d = d.astype(cfg.jnp_dtype())
     norm_d = jnp.linalg.norm(d.ravel())
+    d = d.astype(cfg.jnp_storage_dtype())  # narrow HBM copy when configured
 
     def cond(s: TriTDState):
         return (s.k < k_end) & (s.k < cfg.max_iter) & ~s.done
@@ -59,7 +60,15 @@ def tritd_admm_checkpointed(
         if steps:
             latest = os.path.join(ckpt_dir, steps[-1])
     state = (
-        load_state(latest, cfg.jnp_dtype(), d=d, einsum_dtype=cfg.jnp_einsum_dtype())
+        load_state(
+            latest, cfg.jnp_dtype(), d=d,
+            einsum_dtype=cfg.jnp_einsum_dtype(),
+            storage_dtype=(
+                cfg.jnp_storage_dtype()
+                if cfg.jnp_storage_dtype() != cfg.jnp_dtype()
+                else None
+            ),
+        )
         if latest
         else init_state(d, cfg, key)
     )
@@ -80,7 +89,9 @@ def tritd_admm_checkpointed(
             os.path.join(ckpt_dir, f"step_{int(state.k):06d}.npz"), state
         )
 
+    dtype = cfg.jnp_dtype()
     return TriTDResult(
-        a=state.a, b=state.b, c=state.c, o=state.o, e=state.e,
+        a=state.a, b=state.b, c=state.c,
+        o=state.o.astype(dtype), e=state.e.astype(dtype),
         err_hist=state.err_hist, rre_hist=state.rre_hist, n_iters=state.k,
     )

@@ -20,14 +20,26 @@ from ..solvers.base import TriTDState
 _FIELDS = TriTDState._fields
 
 
+def _np_savable(x) -> np.ndarray:
+    """npz stores non-native dtypes (bfloat16) as raw void and np.load cannot
+    reconstruct them; widen to float32 — exact, since bf16 ⊂ f32 — and let
+    load_state's dtype/storage_dtype recast narrow it back bitwise."""
+    arr = np.asarray(x)
+    if arr.dtype == jnp.bfloat16 or arr.dtype.kind == "V":
+        arr = arr.astype(np.float32)
+    return arr
+
+
 def save_state(path: str, state: TriTDState) -> str:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    arrays = {name: np.asarray(getattr(state, name)) for name in _FIELDS}
+    arrays = {name: _np_savable(getattr(state, name)) for name in _FIELDS}
     np.savez_compressed(path, **arrays)
     return path
 
 
-def load_state(path: str, dtype=None, d=None, einsum_dtype=None) -> TriTDState:
+def load_state(
+    path: str, dtype=None, d=None, einsum_dtype=None, storage_dtype=None
+) -> TriTDState:
     """Load a TriTDState checkpoint.
 
     Args:
@@ -38,14 +50,19 @@ def load_state(path: str, dtype=None, d=None, einsum_dtype=None) -> TriTDState:
         factor-solve target `t` when resuming a checkpoint written before
         `t` was added to the state (it is derivable: t = d - o + y_l/mu_l).
       einsum_dtype: the dtype admm_iteration will produce `t` in
-        (config.jnp_einsum_dtype()); `t` is recast to it (else to `dtype`)
-        so the lax.while_loop carry dtypes match.
+        (config.jnp_einsum_dtype()); `t` is recast to it (else to the
+        storage dtype, else to `dtype`) so the while_loop carry matches.
+      storage_dtype: config.jnp_storage_dtype() when the run uses narrow
+        HBM storage — the data-sized fields (o, e, y_l, y_o) recast to it.
     """
     with np.load(path) as f:
         kwargs = {name: jnp.asarray(f[name]) for name in _FIELDS if name in f}
     if dtype is not None:
-        for name in ("a", "b", "c", "o", "e", "y_l", "y_o", "mu_l", "mu_o"):
+        for name in ("a", "b", "c", "mu_l", "mu_o"):
             kwargs[name] = kwargs[name].astype(dtype)
+        sd = storage_dtype if storage_dtype is not None else dtype
+        for name in ("o", "e", "y_l", "y_o"):
+            kwargs[name] = kwargs[name].astype(sd)
     if "t" not in kwargs:
         # Pre-`t` checkpoint: reconstruct instead of failing (exact — the
         # solver would have carried exactly this value).
@@ -56,7 +73,11 @@ def load_state(path: str, dtype=None, d=None, einsum_dtype=None) -> TriTDState:
             )
         s = kwargs
         kwargs["t"] = jnp.asarray(d, s["o"].dtype) - s["o"] + s["y_l"] / s["mu_l"]
-    t_dtype = einsum_dtype if einsum_dtype is not None else dtype
+    t_dtype = (
+        einsum_dtype
+        if einsum_dtype is not None
+        else (storage_dtype if storage_dtype is not None else dtype)
+    )
     if t_dtype is not None:
         kwargs["t"] = kwargs["t"].astype(t_dtype)
     missing = [name for name in _FIELDS if name not in kwargs]
