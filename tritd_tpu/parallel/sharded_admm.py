@@ -132,17 +132,21 @@ def _sharded_solver_body(
     mask/origin when given) is the local block; the other factors are
     replicated. Semantics match the single-device solver exactly up to
     float reduction order (tested in tests/test_sharding.py)."""
-    dtype = d_loc.dtype
-    norm_d = jnp.sqrt(_psum(jnp.sum(d_loc * d_loc), axis_name))
+    cd = cfg.jnp_dtype()
+    sd = cfg.jnp_storage_dtype()
+    narrow = sd != cd  # narrow HBM storage (cfg.storage_dtype): carry the
+    # data-sized state half-width per shard, upcast to cd in registers
+    d32 = d_loc.astype(cd)
+    norm_d = jnp.sqrt(_psum(jnp.sum(d32 * d32), axis_name))
     norm_origin = (
         jnp.sqrt(_psum(jnp.sum(origin_loc * origin_loc), axis_name))
         if has_origin
         else None
     )
-    zeros = jnp.zeros_like(d_loc)
-    nan_hist = jnp.full((cfg.max_iter,), jnp.nan, dtype)
-    mu0 = jnp.asarray(cfg.mu, dtype)
-    mu_cap = jnp.asarray(cfg.mu * cfg.mu_cap_factor, dtype)
+    zeros = jnp.zeros(d_loc.shape, sd)
+    nan_hist = jnp.full((cfg.max_iter,), jnp.nan, cd)
+    mu0 = jnp.asarray(cfg.mu, cd)
+    mu_cap = jnp.asarray(cfg.mu * cfg.mu_cap_factor, cd)
     masked = cfg.masked and has_mask
 
     def cond(carry):
@@ -151,14 +155,17 @@ def _sharded_solver_body(
 
     def body(carry):
         a, b, c, o, e, y_l, y_o, mu_l, mu_o, err_hist, rre_hist, k, done = carry
+        if narrow:
+            # loads fuse with the upcast; all arithmetic below runs in cd
+            o, e, y_l, y_o = (x.astype(cd) for x in (o, e, y_l, y_o))
         if masked:
             # Impute unobserved entries with the current model estimate —
             # local triple_product + elementwise, zero extra collectives
             # (matches solvers/admm.py masked branch).
             l_prev = designs.triple_product(a, b, c, variant=cfg.variant)
-            d = jnp.where(mask_loc, d_loc, l_prev + o)
+            d = jnp.where(mask_loc, d_loc.astype(cd), l_prev + o)
         else:
-            d = d_loc
+            d = d_loc.astype(cd) if narrow else d_loc
         t = d - o + y_l / mu_l
 
         a, b, c = _update_factors_sharded(t, a, b, c, cfg, axis_name, shard_mode)
@@ -187,6 +194,8 @@ def _sharded_solver_body(
             rre_hist = rre_hist.at[k].set(rre)
         err_prev = err_hist[jnp.maximum(k - 1, 0)]
         done = (k >= 1) & (jnp.abs(err - err_prev) < cfg.tol * err_prev)
+        if narrow:
+            o, e, y_l, y_o = (x.astype(sd) for x in (o, e, y_l, y_o))
         return (a, b, c, o, e, y_l, y_o, mu_l, mu_o, err_hist, rre_hist, k + 1, done)
 
     carry0 = (
@@ -301,7 +310,9 @@ def tritd_admm_sharded(
             "mask given but cfg.masked=False — pass TriTDConfig(masked=True)"
         )
     n_shards = mesh.shape[axis_name]
-    d = d.astype(cfg.jnp_dtype())
+    # host->device transfer and resident copy in the storage dtype (= cfg
+    # dtype unless cfg.storage_dtype narrows it)
+    d = d.astype(cfg.jnp_dtype()).astype(cfg.jnp_storage_dtype())
     axis = 0 if shard_tensor_mode == 1 else 2
     d_pad, n_orig = pad_to_multiple(d, axis, n_shards)
     spec = (
@@ -333,6 +344,8 @@ def tritd_admm_sharded(
         d_pad, mask_pad, origin_pad, key, cfg, mesh, axis_name,
         shard_tensor_mode, n_orig, has_mask, has_origin,
     )
+    dtype = cfg.jnp_dtype()
+    o, e = o.astype(dtype), e.astype(dtype)  # widen narrow-stored results
     if shard_tensor_mode == 1:
         return TriTDResult(
             a=a[:n_orig], b=b, c=c, o=o[:n_orig], e=e[:n_orig],
@@ -434,7 +447,7 @@ def tritd_admm_batch_sharded(
         raise ValueError(
             "mask_batch given but cfg.masked=False — pass TriTDConfig(masked=True)"
         )
-    d_batch = d_batch.astype(cfg.jnp_dtype())
+    d_batch = d_batch.astype(cfg.jnp_dtype()).astype(cfg.jnp_storage_dtype())
     n_data = mesh.shape[data_axis]
     n_slab = mesh.shape[slab_axis]
     if d_batch.shape[0] % n_data:
@@ -465,8 +478,10 @@ def tritd_admm_batch_sharded(
         d_pad, mask_pad, origin_pad, key, cfg, mesh, data_axis, slab_axis,
         has_mask, has_origin,
     )
+    dtype = cfg.jnp_dtype()
     return TriTDResult(
-        a=a[:, :n1], b=b, c=c, o=o[:, :n1], e=e[:, :n1],
+        a=a[:, :n1], b=b, c=c,
+        o=o[:, :n1].astype(dtype), e=e[:, :n1].astype(dtype),
         err_hist=err_hist, rre_hist=rre_hist, n_iters=k,
     )
 
