@@ -221,6 +221,19 @@ def test_svt_ref_compat_truncation(rng_key):
     np.testing.assert_allclose(np.asarray(s_got[2:]), np.zeros(4), atol=1e-4)
 
 
+def test_svt_gram_matches_svd(rng_key):
+    """The TPU-native Gram-eigh SVT path == the SVD path on both aspect
+    ratios, including the ref-compat truncation variant."""
+    for i, shape in enumerate([(9, 40), (40, 9), (12, 12)]):
+        m = jax.random.normal(jax.random.fold_in(rng_key, i), shape)
+        for fn, tau in ((svt, 0.5), (svt_ref_compat, 0.3)):
+            np.testing.assert_allclose(
+                np.asarray(fn(m, tau, method="gram")),
+                np.asarray(fn(m, tau, method="svd")),
+                rtol=2e-4, atol=2e-4,
+            )
+
+
 def test_capped_simplex_projection(rng_key):
     v = jax.random.normal(rng_key, (50,)) * 2.0
     s = 7.0
