@@ -12,6 +12,13 @@ shared-memory transport).
 Prints one JSON line per shard count:
   {"n_shards": N, "iters_per_s": X, "efficiency_vs_1": Y}
 
+At the max shard count it also times the GSPMD path (`tritd_admm_auto` —
+XLA places the collectives automatically from NamedSharding annotations)
+against the explicit shard_map program, and audits the COMPILED collective
+traffic: it parses the optimized HLO of the shard_map program for
+all-reduce instructions and reports bytes/iteration, checked against the
+O(r^4 + (n2+n3)·r^2) design budget (VERDICT r2 #4/#7).
+
 `--multiprocess [N]` instead spawns N separate processes (default 2), each
 with 4 virtual CPU devices, bootstrapped via jax.distributed over a local
 coordinator (collectives on Gloo) — the honest multi-HOST probe: the
@@ -100,12 +107,7 @@ def main() -> None:
     d = x + o
     cfg = TriTDConfig(rank=5, max_iter=iters, tol=0.0)
 
-    base_rate = None
-    max_shards = jax.device_count()
-    n = 1
-    while n <= max_shards:
-        mesh = make_mesh(n_slab=n)
-        run = lambda: tritd_admm_sharded(d, cfg, mesh)
+    def time_solver(run):
         res = run()
         np.asarray(res.err_hist)  # compile + sync
         best = float("inf")
@@ -114,7 +116,14 @@ def main() -> None:
             res = run()
             np.asarray(res.err_hist)
             best = min(best, time.perf_counter() - t0)
-        rate = iters / best
+        return iters / best
+
+    base_rate = None
+    max_shards = jax.device_count()
+    n = 1
+    while n <= max_shards:
+        mesh = make_mesh(n_slab=n)
+        rate = time_solver(lambda: tritd_admm_sharded(d, cfg, mesh))
         if base_rate is None:
             base_rate = rate
         print(
@@ -131,6 +140,81 @@ def main() -> None:
             flush=True,
         )
         n *= 2
+
+    # --- GSPMD (tritd_admm_auto) vs the explicit shard_map program at the
+    # max shard count (VERDICT r2 #7): same solver math, collectives placed
+    # by XLA's SPMD partitioner from NamedSharding annotations.
+    from tritd_tpu.parallel import tritd_admm_auto
+
+    mesh = make_mesh(n_slab=max_shards)
+    auto_rate = time_solver(lambda: tritd_admm_auto(d, cfg, mesh))
+    shard_map_rate = time_solver(lambda: tritd_admm_sharded(d, cfg, mesh))
+    print(
+        json.dumps(
+            {
+                "comparison": "gspmd_auto_vs_shard_map",
+                "n_shards": max_shards,
+                "auto_iters_per_s": round(auto_rate, 2),
+                "shard_map_iters_per_s": round(shard_map_rate, 2),
+                "auto_over_shard_map": round(auto_rate / shard_map_rate, 3),
+            }
+        ),
+        flush=True,
+    )
+
+    print(json.dumps(audit_collectives(d, cfg, mesh, max_shards)), flush=True)
+
+
+def audit_collectives(d, cfg, mesh, n_shards):
+    """Parse the optimized HLO of the shard_map iteration for all-reduce
+    instructions and total their operand bytes — the compiled-collective
+    audit proving the O(r^4 + (n2+n3)·r^2) per-iteration budget (VERDICT
+    r2 #4). The while-loop body executes once per ADMM iteration, so summing
+    the all-reduce operand shapes inside the module gives words/iteration
+    (the two residual-norm scalars psum together; oracle RRE is off here)."""
+    import re
+
+    import jax
+    import numpy as np
+
+    from tritd_tpu.parallel import tritd_admm_sharded
+
+    lowered = jax.jit(
+        lambda dd: tritd_admm_sharded(dd, cfg, mesh).err_hist
+    ).lower(d)
+    hlo = lowered.compile().as_text()
+    dtype_bytes = {"f32": 4, "bf16": 2, "f64": 8, "f16": 2, "s32": 4, "u32": 4}
+    total_bytes = 0
+    shapes = []
+    # any instruction line whose op is all-reduce; the result shape leads
+    # the RHS, e.g. "%ar = f32[25,25] all-reduce(...)"
+    for line in hlo.splitlines():
+        if "all-reduce" not in line or "=" not in line:
+            continue
+        mm = re.search(r"=\s*\(?([a-z0-9]+)\[([0-9,]*)\]", line)
+        if not mm:
+            continue
+        dt, dims = mm.groups()
+        if dt not in dtype_bytes:
+            continue
+        numel = int(np.prod([int(v) for v in dims.split(",") if v])) if dims else 1
+        total_bytes += numel * dtype_bytes[dt]
+        shapes.append(f"{dt}[{dims}]")
+    r2 = cfg.rank * cfg.rank
+    n1, n2, n3 = d.shape
+    # Per-iteration design: GramA (r^4) + RHS2/RHS3 ((n2+n3)r^2) + 2 residual
+    # scalars. The module-level count also catches one-time pre-loop psums
+    # (norm_d, initial Gram/err), bounded by one extra r^4 + a few scalars.
+    budget_words = 2 * r2 * r2 + (n2 + n3) * r2 + 8
+    return {
+        "collective_audit": "all_reduce_bytes_per_iteration",
+        "n_shards": n_shards,
+        "hlo_all_reduce_shapes": shapes,
+        "bytes_per_iteration": total_bytes,
+        "design_budget_words": budget_words,
+        "design_budget_bytes_f32": budget_words * 4,
+        "within_budget": total_bytes <= budget_words * 4,
+    }
 
 
 if __name__ == "__main__":

@@ -85,6 +85,11 @@ def test_collapse_contract_scale(x):
         collapse(x, (0, 2), jnp.max), np.asarray(x).max(axis=(0, 2)), rtol=1e-6
     )
     assert collapse(x).shape == ()
+    # negative dims = toolbox exclusion convention (tt_dimscheck, r2 advisor):
+    # reduce all modes EXCEPT mode 2
+    np.testing.assert_allclose(
+        collapse(x, -2), np.asarray(x).sum(axis=(0, 1)), rtol=1e-5
+    )
     sq = x[:, :4, :]  # (4,4,6): contract modes 0,1
     np.testing.assert_allclose(
         contract(sq, 0, 1), np.trace(np.asarray(sq), axis1=0, axis2=1), rtol=1e-5

@@ -145,6 +145,17 @@ def test_checkpoint_roundtrip(tmp_path, rng_key):
         )
 
 
+def test_np_savable_raw_void_bf16():
+    """Legacy raw-void bf16 npz fields are repaired via a bf16 view, not a
+    TypeError-raising astype (r2 advisor)."""
+    want = np.arange(6, dtype=np.float32).reshape(2, 3)
+    as_bf16 = np.asarray(jnp.asarray(want, jnp.bfloat16))
+    raw_void = as_bf16.view(np.dtype("V2"))  # what old npz round-trips gave
+    got = checkpoint._np_savable(raw_void)
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, want)
+
+
 def test_checkpoint_manager(tmp_path, rng_key):
     d = jax.random.normal(rng_key, (6, 7, 8))
     cfg = TriTDConfig(rank=2, max_iter=10)

@@ -234,6 +234,55 @@ def test_svt_gram_matches_svd(rng_key):
             )
 
 
+def test_svt_gram_matches_svd_benchmark_shape(rng_key):
+    """At-scale parity (r2 verdict #2): the taxi mode-1 unfolding shape
+    100x50000 in f32 — where squaring the condition number is most dangerous.
+    Low-rank + noise spectrum like the benchmark data; parity within
+    5e-6 * sigma_max across the baseline suite's tau range."""
+    k1, k2, k3 = jax.random.split(rng_key, 3)
+    u = jax.random.normal(k1, (100, 8))
+    v = jax.random.normal(k2, (8, 50000))
+    m = (u @ v + 0.1 * jax.random.normal(k3, (100, 50000))).astype(jnp.float32)
+    smax = float(jnp.linalg.svd(m, compute_uv=False)[0])
+    for tau in (0.5, 5.0, 50.0):
+        diff = np.abs(
+            np.asarray(svt(m, tau, method="gram"))
+            - np.asarray(svt(m, tau, method="svd"))
+        ).max()
+        assert diff < 5e-6 * smax, (tau, diff, smax)
+
+
+def test_svt_gram_ill_conditioned_small_tau(rng_key):
+    """Ill-conditioned spectrum (sigma spanning 1e6:1) with tau SMALL enough
+    that tiny singular triplets are retained — the regime the r2 advisor
+    flagged. With the refined-sigma gram path the reconstruction error stays
+    below sqrt(eps)*sigma_max (the documented subspace-cluster bound); the
+    raw sqrt(eigenvalue) path would be O(1) wrong on the retained tiny
+    values."""
+    k1, k2 = jax.random.split(rng_key)
+    p, q = 60, 200
+    uu, _ = jnp.linalg.qr(jax.random.normal(k1, (p, p)))
+    vv, _ = jnp.linalg.qr(jax.random.normal(k2, (q, p)))
+    s = jnp.logspace(0, -6, p).astype(jnp.float32)
+    m = ((uu * s[None, :]) @ vv.T).astype(jnp.float32)
+    bound = float(np.sqrt(np.finfo(np.float32).eps))  # * sigma_max (= 1)
+    for tau in (1e-4, 1e-2):
+        diff = np.abs(
+            np.asarray(svt(m, tau, method="gram"))
+            - np.asarray(svt(m, tau, method="svd"))
+        ).max()
+        assert diff < bound, (tau, diff)
+
+
+def test_svt_default_is_svd():
+    """r2 advisor (medium): plain svt defaults to the backward-stable SVD
+    path; gram is an explicit opt-in for the TPU hot path."""
+    import inspect
+
+    assert inspect.signature(svt).parameters["method"].default == "svd"
+    assert inspect.signature(svt_ref_compat).parameters["method"].default == "svd"
+
+
 def test_capped_simplex_projection(rng_key):
     v = jax.random.normal(rng_key, (50,)) * 2.0
     s = 7.0

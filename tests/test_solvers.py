@@ -109,6 +109,16 @@ def test_admm_masked_beats_zero_fill(rng_key):
     assert rre1 < 0.1
 
 
+def test_admm_mask_guard(rng_key):
+    """Passing a mask without cfg.masked raises instead of silently ignoring
+    it (r2 verdict weak #2 — same guard as the sharded solvers)."""
+    prob = make_completion_problem(rng_key, shape=SHAPE, rank=2, missing_ratio=0.3)
+    with pytest.raises(ValueError, match="masked"):
+        tritd_admm(prob["y"], TriTDConfig(rank=2, max_iter=5), mask=prob["mask"])
+    with pytest.raises(ValueError, match="mask"):
+        tritd_admm(prob["y"], TriTDConfig(rank=2, max_iter=5, masked=True))
+
+
 def test_admm_early_stop(rng_key):
     x, _ = random_tritd(rng_key, (12, 12, 12), rank=2)
     cfg = TriTDConfig(rank=2, max_iter=100, tol=1e-2)

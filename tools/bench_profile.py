@@ -170,6 +170,48 @@ def main():
     print(f"{'sum of parts (3x solve)':28s} {total:9.2f} us/iter  "
           f"vs full {t_full:.2f} us/iter")
 
+    svt_profile(shape)
+
+
+def svt_profile(shape):
+    """Gram-eigh vs SVD SVT throughput at the baseline suite's unfolding
+    shapes (VERDICT r2 #2): the mode-1 and TT-cut unfoldings of the given
+    tensor shape, plus the two extreme benchmark unfoldings. Differenced
+    over repetitions like everything else; parity at these shapes is pinned
+    by tests/test_ops.py."""
+    from tritd_tpu.ops.svt import svt
+
+    n1, n2, n3 = shape
+    mats = {
+        f"{n1}x{n2 * n3}": (n1, n2 * n3),
+        f"{n1 * n2}x{n3}": (n1 * n2, n3),
+        "100x50000 (taxi m1)": (100, 50000),
+        "76800x300 (video TTcut)": (76800, 300),
+    }
+    lo, hi = 4, 24
+    print("\nSVT throughput (baseline-suite hot op), gram vs svd:")
+    key = jax.random.PRNGKey(0)
+    for label, (p, q) in mats.items():
+        u = jax.random.normal(key, (p, 8))
+        v = jax.random.normal(jax.random.fold_in(key, 1), (8, q))
+        m = (u @ v + 0.1 * jax.random.normal(jax.random.fold_in(key, 2), (p, q))
+             ).astype(jnp.float32)
+        for method in ("gram", "svd"):
+            def make(reps, method=method):
+                @jax.jit
+                def loop(m):
+                    def body(_i, acc):
+                        return seq(svt(m * acc, 0.5, method=method))
+
+                    return jax.lax.fori_loop(0, reps, body, jnp.float32(1.0))
+
+                return loop
+
+            t_lo = _best_call(make(lo), m)
+            t_hi = _best_call(make(hi), m)
+            per = (t_hi - t_lo) / (hi - lo) * 1e3
+            print(f"  {label:26s} {method:4s} {per:9.3f} ms/SVT")
+
 
 if __name__ == "__main__":
     main()

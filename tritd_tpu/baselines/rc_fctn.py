@@ -59,9 +59,14 @@ def weight_fctn(nway: tuple[int, ...], orders) -> list[float]:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("lam", "f", "gamma0", "deta0", "max_iter", "has_origin"),
+    static_argnames=(
+        "lam", "f", "gamma0", "deta0", "max_iter", "has_origin", "svt_method"
+    ),
 )
-def _rc_fctn_run(x_noise, ind_obs, origin, lam, f, gamma0, deta0, max_iter, has_origin):
+def _rc_fctn_run(
+    x_noise, ind_obs, origin, lam, f, gamma0, deta0, max_iter, has_origin,
+    svt_method="svd",
+):
     nway = x_noise.shape
     n = len(nway)
     half = n // 2
@@ -85,7 +90,7 @@ def _rc_fctn_run(x_noise, ind_obs, origin, lam, f, gamma0, deta0, max_iter, has_
         ls = []
         for i, order in enumerate(orders):
             mat = jnp.transpose(x - zs[i] / mu[i], order).reshape(dims_l[i], -1)
-            mat = svt_ref_compat(mat, alpha[i] / mu[i])
+            mat = svt_ref_compat(mat, alpha[i] / mu[i], method=svt_method)
             shp = tuple(nway[o] for o in order)
             ls.append(jnp.transpose(mat.reshape(shp), inv_orders[i]))
         # S (`:78`)
@@ -127,6 +132,7 @@ def rc_fctn(
     gamma: float = 1e-3,
     deta: float = 1e-3,
     max_iter: int = 100,
+    svt_method: str = "svd",
 ):
     """Returns (X low-rank, S sparse, errHist RSE_real). ind_obs is the
     observed indicator (1 = keep data constraint)."""
@@ -135,6 +141,7 @@ def rc_fctn(
     return _rc_fctn_run(
         x_noise, ind_obs.astype(x_noise.dtype), dummy,
         float(lam), float(f), float(gamma), float(deta), max_iter, has_origin,
+        svt_method,
     )
 
 
@@ -158,6 +165,7 @@ def rc_fctn_driver_traffic(
     subdim: int,
     origin: jnp.ndarray | None = None,
     max_iter: int = 100,
+    svt_method: str = "svd",
 ):
     """Traffic-driver wrapper (`traffic_triple_comparison.m:149-173`):
     4-way reshape [I, J, K/sub, sub] (column-major semantics)."""
@@ -168,7 +176,8 @@ def rc_fctn_driver_traffic(
     lam = 5000.0 / math.sqrt(max(i, j) * n3 * n4)
     ind = jnp.ones(y4.shape, y.dtype)  # driver quirk: everything marked observed
     x4, s4, err_hist = rc_fctn(
-        y4, lam, ind, origin=origin4, f=0.1, max_iter=max_iter
+        y4, lam, ind, origin=origin4, f=0.1, max_iter=max_iter,
+        svt_method=svt_method,
     )
     return _merge_mode3(x4), _merge_mode3(s4), err_hist
 
@@ -179,6 +188,7 @@ def rc_fctn_driver_video(
     subdim: int,
     origin: jnp.ndarray | None = None,
     max_iter: int = 100,
+    svt_method: str = "svd",
 ):
     """Video-driver wrapper (`video_triple_comparison.m:240-262`):
     4-way reshape [I, J, sub, K/sub] (column-major semantics)."""
@@ -188,6 +198,7 @@ def rc_fctn_driver_video(
     origin4 = _split_mode3(origin, n3, n4) if origin is not None else None
     ind = _split_mode3(mask_obs.astype(y.dtype), n3, n4)
     x4, s4, err_hist = rc_fctn(
-        y4, 1.8, ind, origin=origin4, f=0.7, max_iter=max_iter
+        y4, 1.8, ind, origin=origin4, f=0.7, max_iter=max_iter,
+        svt_method=svt_method,
     )
     return _merge_mode3(x4), _merge_mode3(s4), err_hist

@@ -53,9 +53,14 @@ def freedom_ratio(x_obs: np.ndarray, p_mask: np.ndarray):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mu0", "lam", "weights", "max_iter", "has_origin", "orders"),
+    static_argnames=(
+        "mu0", "lam", "weights", "max_iter", "has_origin", "orders", "svt_method"
+    ),
 )
-def _rtrc_run(x_obs, p, origin, mu0, lam, weights, orders, max_iter, has_origin):
+def _rtrc_run(
+    x_obs, p, origin, mu0, lam, weights, orders, max_iter, has_origin,
+    svt_method="svd",
+):
     shape = x_obs.shape
     l = len(orders)
     dtype = x_obs.dtype
@@ -71,7 +76,7 @@ def _rtrc_run(x_obs, p, origin, mu0, lam, weights, orders, max_iter, has_origin)
         ls_new = []
         for n_ in range(l):
             m = jnp.transpose(x - zs[n_] / mu, orders[n_]).reshape(dims_l[n_], -1)
-            m = svt(m, weights[n_] / mu)
+            m = svt(m, weights[n_] / mu, method=svt_method)
             shp = tuple(shape[o] for o in orders[n_])
             ls_new.append(jnp.transpose(m.reshape(shp), inv_orders[n_]))
         l_cs = sum(ls_new)
@@ -104,6 +109,7 @@ def rtrc(
     mu: float = 1e-1,
     origin: jnp.ndarray | None = None,
     max_iter: int = 100,
+    svt_method: str = "svd",
 ):
     """Returns (x low-rank, y sparse, errHist, n_iters).
 
@@ -132,6 +138,6 @@ def rtrc(
     x, y, err_hist = _rtrc_run(
         x_obs, jnp.asarray(p_np, tnsr.dtype), dummy,
         float(mu), float(lam), tuple(float(w) for w in weight),
-        orders, max_iter, has_origin,
+        orders, max_iter, has_origin, svt_method,
     )
     return x, y, err_hist, max_iter

@@ -41,9 +41,12 @@ def weight_tc(nway: tuple[int, ...]) -> list[float]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("lam", "f", "gamma0", "deta0", "max_iter", "has_origin")
+    jax.jit,
+    static_argnames=("lam", "f", "gamma0", "deta0", "max_iter", "has_origin", "svt_method"),
 )
-def _tt_trpca_run(x_noise, origin, lam, f, gamma0, deta0, max_iter, has_origin):
+def _tt_trpca_run(
+    x_noise, origin, lam, f, gamma0, deta0, max_iter, has_origin, svt_method="svd"
+):
     nway = x_noise.shape
     n = len(nway)
     ncuts = n - 1
@@ -62,7 +65,9 @@ def _tt_trpca_run(x_noise, origin, lam, f, gamma0, deta0, max_iter, has_origin):
         us = []
         for m in range(ncuts):
             mat = (z - cs[m] / beta[m]).reshape(dim_l[m], -1)
-            us.append(svt_ref_compat(mat, alpha[m] / beta[m]).reshape(nway))
+            us.append(
+                svt_ref_compat(mat, alpha[m] / beta[m], method=svt_method).reshape(nway)
+            )
         gamma = gamma0 * 1.1**k
         deta = deta0 * 1.1**k
         # Y: l1 shrink of the sparse clone (`:51`)
@@ -104,13 +109,15 @@ def tt_trpca(
     deta: float = 0.002,
     origin: jnp.ndarray | None = None,
     max_iter: int = 100,
+    svt_method: str = "svd",
 ):
     """Returns (Z low-rank, S sparse, errHist vs origin, n_iters). The
     reference runs the full 100 iterations (its tol check is bypassed,
-    `TT_TRPCA.m:40`)."""
+    `TT_TRPCA.m:40`). ``svt_method="gram"`` selects the TPU Gram-eigh SVT
+    (see ops/svt.py docstring for the precision trade)."""
     has_origin = origin is not None
     dummy = origin if has_origin else x_noise
     z, s, err_hist, _ = _tt_trpca_run(
-        x_noise, dummy, lam, f, gamma, deta, max_iter, has_origin
+        x_noise, dummy, lam, f, gamma, deta, max_iter, has_origin, svt_method
     )
     return z, s, err_hist, max_iter

@@ -35,8 +35,17 @@ from ..utils.config import (
 METHOD_NAMES = ("triple", "triple_masked", "ttnn", "ring", "fctn", "sofia")
 
 
-def run_method(method, y, x, mask, spec, key, max_iter):
-    """Dispatch one method; returns (x_hat, o, err_hist)."""
+def run_method(method, y, x, mask, spec, key, max_iter, svt_method="svd"):
+    """Dispatch one method; returns (x_hat, o, err_hist).
+
+    Preset selection follows the dataset kind: traffic datasets use the
+    traffic-driver baseline presets (`traffic_triple_comparison.m:116-168`),
+    video datasets the video-driver ones — RTRC mu=1e-3
+    (`video_triple_comparison.m:150`), the FCTN video reshape/lambda
+    (`:240-262`), SOFIA period m=1 (`:83`; carried in spec.sofia_period).
+    `svt_method="gram"` opts the SVT baselines into the TPU Gram-eigh path
+    (ops/svt.py)."""
+    video = spec.kind == "video"
     if method == "triple":
         cfg = dataclasses.replace(COMPLETION_TRITD, max_iter=max_iter)
         res = tritd_admm(y, cfg, key=key, origin=x)
@@ -50,18 +59,29 @@ def run_method(method, y, x, mask, spec, key, max_iter):
     if method == "ttnn":
         from ..baselines.ttnn import tt_trpca
 
-        z, s, err_hist, n = tt_trpca(y, origin=x, max_iter=max_iter)
+        z, s, err_hist, n = tt_trpca(
+            y, origin=x, max_iter=max_iter, svt_method=svt_method
+        )
         return z, s, np.asarray(err_hist)[: int(n)]
     if method == "ring":
         from ..baselines.rtrc import rtrc
+        from ..utils.config import RING_PRESET
 
-        xh, o, err_hist, n = rtrc(y, mask, mu=1e-1, origin=x, max_iter=max_iter)
+        mu = RING_PRESET.mu_video if video else RING_PRESET.mu_completion
+        xh, o, err_hist, n = rtrc(
+            y, mask, mu=mu, origin=x, max_iter=max_iter, svt_method=svt_method
+        )
         return xh, o, np.asarray(err_hist)[: int(n)]
     if method == "fctn":
-        from ..baselines.rc_fctn import rc_fctn_driver_traffic
+        from ..baselines.rc_fctn import (
+            rc_fctn_driver_traffic,
+            rc_fctn_driver_video,
+        )
 
-        xh, s, err_hist = rc_fctn_driver_traffic(
-            y, mask, spec.fctn_subdim, origin=x, max_iter=max_iter
+        driver = rc_fctn_driver_video if video else rc_fctn_driver_traffic
+        xh, s, err_hist = driver(
+            y, mask, spec.fctn_subdim, origin=x, max_iter=max_iter,
+            svt_method=svt_method,
         )
         return xh, s, np.asarray(err_hist)
     if method == "sofia":

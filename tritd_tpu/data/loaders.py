@@ -47,10 +47,10 @@ DATASETS: dict[str, DatasetSpec] = {
     "network": DatasetSpec("network", "traffic", "T", (23, 23, 2016), fctn_subdim=16, sofia_period=168),
     "taxi": DatasetSpec("taxi", "traffic", "T", (100, 100, 500), truncate_frames=500, fctn_subdim=10, sofia_period=7),
     "chicago": DatasetSpec("chicago", "traffic", "T", (77, 77, 2016), fctn_subdim=8, sofia_period=168),
-    "highway": DatasetSpec("highway", "video", "gray_images", (240, 320, 300), fctn_subdim=20),
-    "sofa": DatasetSpec("sofa", "video", "gray_images", (240, 320, 300), fctn_subdim=20),
-    "office": DatasetSpec("office", "video", "gray_images", (240, 320, 300), fctn_subdim=20),
-    "PETS2006": DatasetSpec("PETS2006", "video", "gray_images", (240, 320, 300), fctn_subdim=20),
+    "highway": DatasetSpec("highway", "video", "gray_images", (240, 320, 300), fctn_subdim=20, sofia_period=1),
+    "sofa": DatasetSpec("sofa", "video", "gray_images", (240, 320, 300), fctn_subdim=20, sofia_period=1),
+    "office": DatasetSpec("office", "video", "gray_images", (240, 320, 300), fctn_subdim=20, sofia_period=1),
+    "PETS2006": DatasetSpec("PETS2006", "video", "gray_images", (240, 320, 300), fctn_subdim=20, sofia_period=1),
 }
 
 DEFAULT_DATA_DIR = os.environ.get("TRITD_DATA_DIR", "data")

@@ -91,12 +91,25 @@ def nvecs(x: jnp.ndarray, mode: int, r: int, flipsign: bool = True) -> jnp.ndarr
 def collapse(x: jnp.ndarray, dims=None, fun=jnp.sum) -> jnp.ndarray:
     """Reduce over `dims` with `fun` (default sum) — ``@tensor/collapse.m``.
     `fun` is any reduction accepting an `axis` argument (jnp.sum, jnp.max,
-    jnp.mean, ...); collapsing every mode returns a scalar."""
+    jnp.mean, ...); collapsing every mode returns a scalar.
+
+    Negative dims follow the toolbox's `tt_dimscheck` exclusion convention
+    (0-based here): ``dims=-k`` (or a tuple of negatives) means "all modes
+    EXCEPT mode k" — e.g. ``collapse(x, -2)`` reduces every mode but mode 2
+    (`@tensor/collapse.m` via `tt_dimscheck.m`). Mixing signs is an error,
+    matching the toolbox."""
     if dims is None:
         dims = tuple(range(x.ndim))
     dims = (dims,) if isinstance(dims, int) else tuple(dims)
     if len(dims) == 0:
         return x
+    if any(d < 0 for d in dims):
+        if not all(d < 0 for d in dims):
+            raise ValueError("collapse dims must be all >=0 or all negative")
+        excluded = {-d for d in dims}
+        dims = tuple(d for d in range(x.ndim) if d not in excluded)
+        if len(dims) == 0:
+            return x
     return fun(x, axis=dims)
 
 

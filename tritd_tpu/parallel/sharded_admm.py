@@ -48,7 +48,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops import designs, normal_eq
 from ..ops.fold import core_a_from_mat, core_b_from_mat, core_c_from_mat
 from ..ops.shrinkage import soft_threshold
-from ..solvers.admm import init_factors
+from ..solvers.admm import init_factors, t_dtype_of
 from ..solvers.base import TriTDConfig, TriTDResult
 from .mesh import pad_to_multiple
 
@@ -167,6 +167,12 @@ def _sharded_solver_body(
         else:
             d = d_loc.astype(cd) if narrow else d_loc
         t = d - o + y_l / mu_l
+        # Round the factor-solve target to the same storage/einsum dtype the
+        # single-device solver carries it in (solvers/admm.py t_dtype_of) so
+        # narrow-mode trajectories match up to reduction order (r2 advisor).
+        td = t_dtype_of(cfg)
+        if td is not None:
+            t = t.astype(td)
 
         a, b, c = _update_factors_sharded(t, a, b, c, cfg, axis_name, shard_mode)
 

@@ -25,8 +25,12 @@ def _np_savable(x) -> np.ndarray:
     reconstruct them; widen to float32 — exact, since bf16 ⊂ f32 — and let
     load_state's dtype/storage_dtype recast narrow it back bitwise."""
     arr = np.asarray(x)
-    if arr.dtype == jnp.bfloat16 or arr.dtype.kind == "V":
+    if arr.dtype == jnp.bfloat16:
         arr = arr.astype(np.float32)
+    elif arr.dtype.kind == "V":
+        # Legacy checkpoints stored bf16 as 2-byte raw void; astype on a void
+        # array raises, so reinterpret the buffer as bf16 first (r2 advisor).
+        arr = arr.view(jnp.bfloat16).astype(np.float32)
     return arr
 
 
