@@ -186,9 +186,36 @@ class Tensor:
             return jnp.asarray(False)
         return jnp.all(self.data == o)
 
-    # -- indexing (`subsref.m`; returns Tensor like X(ranges) does)
+    # -- indexing (`subsref.m`; returns Tensor like X(ranges) does).
+    # MATLAB's `end`-style indexing (`@tensor/end.m`: X(end,:,:)) maps to
+    # Python's native negative indexing — X[-1] / X[..., -1] — so no
+    # separate helper is needed; pinned by test_classes.py.
     def __getitem__(self, idx):
         return Tensor(self.data[idx])
+
+    def find(self):
+        """(subs, vals) of nonzero entries — ``@tensor/find.m``. Returns an
+        (nnz, ndim) 0-based subscript array + the matching values. NOTE:
+        output shape is data-dependent, so call OUTSIDE jit (like the
+        toolbox, which is host-side); inside jit use jnp.nonzero with a
+        static size argument instead."""
+        import numpy as _np
+
+        arr = _np.asarray(self.data)
+        subs = _np.argwhere(arr)
+        return subs, arr[tuple(subs.T)]
+
+    # -- scalar division forms (`@tensor/mldivide.m`, `mrdivide.m`): the
+    # toolbox defines A \ X (scalar left-divide) and X / B (scalar
+    # right-divide); the elementwise ldivide/rdivide general forms are
+    # covered by __truediv__/__rtruediv__ above.
+    def mldivide(self, scalar):
+        """scalar \\ X — every element divided by `scalar`."""
+        return Tensor(self.data / scalar)
+
+    def mrdivide(self, scalar):
+        """X / scalar — alias of __truediv__ for scalar operands."""
+        return Tensor(self.data / scalar)
 
     # -- structure ops (`permute/reshape/squeeze.m`)
     def permute(self, order) -> "Tensor":
@@ -362,6 +389,11 @@ class SpTensor:
     def elemwise(self, fn) -> "SpTensor":
         v, c, s = _sp.sp_elemwise(self.vals, self.coords, self.shape, fn)
         return SpTensor(v, c, s)
+
+    def find(self):
+        """(subs, vals) of stored entries — ``@sptensor/find.m`` (the stored
+        coordinate list IS the answer for a sparse tensor)."""
+        return self.coords, self.vals
 
     def coalesce(self) -> "SpTensor":
         """Merge duplicate coordinates (host-side; not jittable — nnz
