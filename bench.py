@@ -296,7 +296,8 @@ def main() -> None:
                 "unit": "s",
                 "vs_baseline": primary["speedup_vs_baseline"],
             }
-        )
+        ),
+        flush=True,
     )
 
     details = [primary]
@@ -323,6 +324,7 @@ def main() -> None:
             details.append(fn())
         except Exception as exc:  # keep the primary line valid regardless
             details.append({**label, "error": repr(exc)})
+        print(json.dumps(details[-1]), file=sys.stderr, flush=True)
         finally:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
@@ -403,6 +405,7 @@ def main() -> None:
             }
         ),
         file=sys.stderr,
+        flush=True,
     )
 
 
