@@ -324,10 +324,10 @@ def main() -> None:
             details.append(fn())
         except Exception as exc:  # keep the primary line valid regardless
             details.append({**label, "error": repr(exc)})
-        print(json.dumps(details[-1]), file=sys.stderr, flush=True)
         finally:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
+        print(json.dumps(details[-1]), file=sys.stderr, flush=True)
 
     # --- TriTD rows: all eight configs. The four video sequences share one
     # shape (240x320x300) and one config, so after the first video compile
