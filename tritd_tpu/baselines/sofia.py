@@ -103,10 +103,9 @@ def _mode3_gauss_seidel(u3, rhs_base, gram_base, lam1, lam2, m):
     return u3
 
 
-@functools.partial(
-    jax.jit, static_argnames=("m", "lam1", "lam2", "max_iters", "fitchangetol")
-)
-def _sofia_als_run(y, omega, u1, u2, u3, m, lam1, lam2, max_iters, fitchangetol):
+def _als_loop(y, omega, u1, u2, u3, m, lam1, lam2, max_iters, fitchangetol):
+    """The masked CP-ALS while_loop, shared by the standalone jit wrapper
+    (`_sofia_als_run`) and the fully fused `sofia_init` device program."""
     y = jnp.where(omega, y, 0.0)
     omega_f = omega.astype(y.dtype)
     norm_y = jnp.linalg.norm(y.ravel())
@@ -153,6 +152,66 @@ def _sofia_als_run(y, omega, u1, u2, u3, m, lam1, lam2, max_iters, fitchangetol)
     return u1, u2, u3, recon(u1, u2, u3)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("m", "lam1", "lam2", "max_iters", "fitchangetol")
+)
+def _sofia_als_run(y, omega, u1, u2, u3, m, lam1, lam2, max_iters, fitchangetol):
+    return _als_loop(y, omega, u1, u2, u3, m, lam1, lam2, max_iters, fitchangetol)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "m", "lam1", "lam2", "lam3_init", "max_epoch", "als_max_iters", "tol",
+        "has_origin",
+    ),
+)
+def _sofia_init_run(
+    y, omega, u1, u2, u3, origin, m, lam1, lam2, lam3_init,
+    max_epoch, als_max_iters, tol, has_origin,
+):
+    """The WHOLE batch-init epoch loop as one device program (`sofia_init.m:
+    60-101`): ALS on Y-O, outlier peel O = soft(Y-X, lam3), 0.85x anneal
+    floored at lam3/100, relative-change early stop. The round-2 host loop
+    paid one ~26 ms tunnel round trip per epoch (~100 RTTs dominated the
+    sensor row); fusing the epochs into a nested while_loop makes sofia_init
+    a single dispatch, like every other solver in the framework."""
+    dtype = y.dtype
+    norm_origin = jnp.linalg.norm(origin.ravel()) if has_origin else 1.0
+    zeros = jnp.zeros(y.shape, dtype)
+    err0 = jnp.full((max_epoch,), jnp.nan, dtype)
+
+    def cond(carry):
+        *_, epoch, done = carry
+        return (epoch < max_epoch) & ~done
+
+    def body(carry):
+        u1, u2, u3, o, x, lam3, err_hist, epoch, done = carry
+        x_pre = x
+        u1, u2, u3, x = _als_loop(
+            y - o, omega, u1, u2, u3, m, lam1, lam2, als_max_iters, 1e-3
+        )
+        o = soft_threshold(y - x, lam3)
+        lam3 = jnp.maximum(lam3 * 0.85, lam3_init / 100.0)
+        if has_origin:
+            err_hist = err_hist.at[epoch].set(
+                jnp.linalg.norm((origin - x).ravel()) / norm_origin
+            )
+        rel = jnp.linalg.norm((x_pre - x).ravel()) / jnp.maximum(
+            jnp.linalg.norm(x_pre.ravel()), 1e-30
+        )
+        done = (epoch > 0) & (rel < tol)
+        return (u1, u2, u3, o, x, lam3, err_hist, epoch + 1, done)
+
+    u1, u2, u3, o, x, _, err_hist, n_epochs, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (u1, u2, u3, zeros, zeros, jnp.asarray(lam3_init, dtype), err0,
+         jnp.asarray(0, jnp.int32), jnp.asarray(False)),
+    )
+    return u1, u2, u3, x, o, err_hist, n_epochs
+
+
 def sofia_als(
     y, omega, r, m, lam1, lam2, u_init, max_iters=300, fitchangetol=1e-3
 ):
@@ -192,37 +251,16 @@ def sofia_init(
     u2 = jax.random.uniform(k2, (shape[1], r), y.dtype)
     u3 = jax.random.uniform(k3, (shape[2], r), y.dtype)
 
-    o = jnp.zeros(shape, y.dtype)
-    x = jnp.zeros(shape, y.dtype)
-    lam3_init = lam3
-    err_hist = []
-    norm_origin = (
-        float(jnp.linalg.norm(jnp.asarray(origin).ravel()))
-        if origin is not None
-        else 1.0
+    has_origin = origin is not None
+    dummy = jnp.asarray(origin, y.dtype) if has_origin else jnp.zeros((1,), y.dtype)
+    u1, u2, u3, x, o, err_hist, n_epochs = _sofia_init_run(
+        y, omega, u1, u2, u3, dummy,
+        int(m), float(lam1), float(lam2), float(lam3),
+        int(max_epoch), int(als_max_iters), float(tol), has_origin,
     )
-    norm_x_pre = 0.0
-    for epoch in range(max_epoch):
-        x_pre = x
-        u1, u2, u3, x = sofia_als(
-            y - o, omega, r, m, lam1, lam2, (u1, u2, u3), als_max_iters
-        )
-        o = soft_threshold(y - x, lam3)
-        lam3 = max(lam3 * 0.85, lam3_init / 100.0)
-        if origin is not None:
-            err_hist.append(
-                float(jnp.linalg.norm((jnp.asarray(origin) - x).ravel()))
-                / norm_origin
-            )
-        if epoch > 0:
-            rel = float(jnp.linalg.norm((x_pre - x).ravel())) / max(
-                norm_x_pre, 1e-30
-            )
-            if rel < tol:
-                norm_x_pre = float(jnp.linalg.norm(x.ravel()))
-                break
-        norm_x_pre = float(jnp.linalg.norm(x.ravel()))
-    return (u1, u2, u3), x, o, np.asarray(err_hist)
+    n = int(n_epochs)
+    hist = np.asarray(err_hist)[:n] if has_origin else np.zeros((0,))
+    return (u1, u2, u3), x, o, hist
 
 
 # ---------------------------------------------------------------------------
