@@ -333,8 +333,13 @@ def main() -> None:
     # shape (240x320x300) and one config, so after the first video compile
     # the other three are jit-cache hits — they run budget-EXEMPT (VERDICT
     # r2 #3: zero skipped rows).
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     seen_video = False
     for name in ("sensor", "network", "chicago", "highway", "sofa", "office", "PETS2006"):
+        if only is not None and f"triple:{name}" not in only:
+            continue
         is_video = name in ("highway", "sofa", "office", "PETS2006")
         guarded(
             lambda n=name: run_config(n, jax, jnp, np),
@@ -379,6 +384,14 @@ def main() -> None:
         for m in ("ttnn", "ring", "fctn", "sofia"):
             for v in ("sofa", "office", "PETS2006"):
                 baseline_plan.append((m, v, None if m == "sofia" else "gram"))
+    # --only method:dataset[:svt],... filters rows (TriTD rows need
+    # triple:<ds>) — for focused reruns of rows a prior run lost (e.g.
+    # after a TPU worker crash).
+    if only is not None:
+        baseline_plan = [
+            (m, n, s) for (m, n, s) in baseline_plan
+            if f"{m}:{n}" in only or f"{m}:{n}:{s}" in only
+        ]
     for method, name, svt_method in baseline_plan:
         guarded(
             lambda m=method, n=name, s=svt_method: run_baseline(

@@ -60,13 +60,20 @@ def weight_fctn(nway: tuple[int, ...], orders) -> list[float]:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "lam", "f", "gamma0", "deta0", "max_iter", "has_origin", "svt_method"
+        "lam", "f", "gamma0", "deta0", "max_iter", "n_steps", "has_origin",
+        "svt_method",
     ),
 )
-def _rc_fctn_run(
-    x_noise, ind_obs, origin, lam, f, gamma0, deta0, max_iter, has_origin,
-    svt_method="svd",
+def _rc_fctn_steps(
+    x_noise, ind_obs, origin, carry, k0, lam, f, gamma0, deta0, max_iter,
+    n_steps, has_origin, svt_method="svd",
 ):
+    """Run `n_steps` iterations from absolute iteration `k0` (traced, so one
+    compilation serves every chunk). Chunking bounds the wall time of a
+    single dispatch: at the video 4-way shape the bipartition SVTs include a
+    4800x4800 eigh, and a 100-iteration fori_loop in ONE dispatch ran >10
+    min and crashed the TPU worker (measured, round 3); chunked dispatches
+    avoid the watchdog at a cost of ~26 ms RTT per chunk."""
     nway = x_noise.shape
     n = len(nway)
     half = n // 2
@@ -78,7 +85,6 @@ def _rc_fctn_run(
     dims_l = [math.prod(nway[o] for o in order[:half]) for order in orders]
 
     dtype = x_noise.dtype
-    zeros = jnp.zeros(nway, dtype)
     ind_mis = 1.0 - ind_obs
     norm_origin = jnp.linalg.norm(origin.ravel()) if has_origin else 1.0
 
@@ -114,13 +120,7 @@ def _rc_fctn_run(
             )
         return (x, y, e, s, p, q, zs, err_hist)
 
-    carry0 = (
-        zeros, x_noise, zeros, zeros, zeros, zeros,
-        tuple(zeros for _ in orders),
-        jnp.full((max_iter,), jnp.nan, dtype),
-    )
-    x, _, _, s, _, _, _, err_hist = jax.lax.fori_loop(0, max_iter, body, carry0)
-    return x, s, err_hist
+    return jax.lax.fori_loop(k0, k0 + n_steps, body, carry)
 
 
 def rc_fctn(
@@ -133,16 +133,32 @@ def rc_fctn(
     deta: float = 1e-3,
     max_iter: int = 100,
     svt_method: str = "svd",
+    chunk: int | None = None,
 ):
     """Returns (X low-rank, S sparse, errHist RSE_real). ind_obs is the
-    observed indicator (1 = keep data constraint)."""
+    observed indicator (1 = keep data constraint). `chunk` caps iterations
+    per device dispatch (None = all in one dispatch); see _rc_fctn_steps."""
     has_origin = origin is not None
     dummy = origin if has_origin else x_noise
-    return _rc_fctn_run(
-        x_noise, ind_obs.astype(x_noise.dtype), dummy,
-        float(lam), float(f), float(gamma), float(deta), max_iter, has_origin,
-        svt_method,
+    ind = ind_obs.astype(x_noise.dtype)
+    chunk = max_iter if chunk is None else min(chunk, max_iter)
+    zeros = jnp.zeros(x_noise.shape, x_noise.dtype)
+    carry = (
+        zeros, x_noise, zeros, zeros, zeros, zeros,
+        tuple(zeros for _ in balanced_bipartitions(x_noise.ndim)),
+        jnp.full((max_iter,), jnp.nan, x_noise.dtype),
     )
+    k0 = 0
+    while k0 < max_iter:
+        n_steps = min(chunk, max_iter - k0)
+        carry = _rc_fctn_steps(
+            x_noise, ind, dummy, carry, jnp.asarray(k0, jnp.int32),
+            float(lam), float(f), float(gamma), float(deta), max_iter,
+            n_steps, has_origin, svt_method,
+        )
+        k0 += n_steps
+    x, _, _, s, _, _, _, err_hist = carry
+    return x, s, err_hist
 
 
 def _split_mode3(x: jnp.ndarray, n3: int, n4: int) -> jnp.ndarray:
@@ -197,8 +213,10 @@ def rc_fctn_driver_video(
     y4 = _split_mode3(y, n3, n4)
     origin4 = _split_mode3(origin, n3, n4) if origin is not None else None
     ind = _split_mode3(mask_obs.astype(y.dtype), n3, n4)
+    # chunk=5: the (I*sub)x(J*K/sub) bipartitions at video shape make one
+    # iteration ~seconds (4800x4800 eigh); see _rc_fctn_steps docstring.
     x4, s4, err_hist = rc_fctn(
         y4, 1.8, ind, origin=origin4, f=0.7, max_iter=max_iter,
-        svt_method=svt_method,
+        svt_method=svt_method, chunk=5,
     )
     return _merge_mode3(x4), _merge_mode3(s4), err_hist

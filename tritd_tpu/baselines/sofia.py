@@ -162,28 +162,29 @@ def _sofia_als_run(y, omega, u1, u2, u3, m, lam1, lam2, max_iters, fitchangetol)
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "m", "lam1", "lam2", "lam3_init", "max_epoch", "als_max_iters", "tol",
-        "has_origin",
+        "m", "lam1", "lam2", "lam3_init", "max_epoch",
+        "als_max_iters", "tol", "has_origin",
     ),
 )
-def _sofia_init_run(
-    y, omega, u1, u2, u3, origin, m, lam1, lam2, lam3_init,
+def _sofia_init_epochs(
+    y, omega, carry, epoch_cap, origin, m, lam1, lam2, lam3_init,
     max_epoch, als_max_iters, tol, has_origin,
 ):
-    """The WHOLE batch-init epoch loop as one device program (`sofia_init.m:
-    60-101`): ALS on Y-O, outlier peel O = soft(Y-X, lam3), 0.85x anneal
-    floored at lam3/100, relative-change early stop. The round-2 host loop
-    paid one ~26 ms tunnel round trip per epoch (~100 RTTs dominated the
-    sensor row); fusing the epochs into a nested while_loop makes sofia_init
-    a single dispatch, like every other solver in the framework."""
+    """The batch-init epoch loop as a device program (`sofia_init.m:60-101`):
+    ALS on Y-O, outlier peel O = soft(Y-X, lam3), 0.85x anneal floored at
+    lam3/100, relative-change early stop. The round-2 host loop paid one
+    ~26 ms tunnel round trip per epoch (~100 RTTs dominated the sensor
+    wall-clock); here epochs run in nested while_loops on device. Runs until
+    the GLOBAL epoch counter in `carry` reaches `epoch_cap` (<= max_epoch)
+    or the tol early stop fires — chunking via epoch_cap bounds a single
+    dispatch's wall time on big video tensors (long dispatches can trip the
+    TPU worker watchdog; see baselines/rc_fctn.py _rc_fctn_steps)."""
     dtype = y.dtype
     norm_origin = jnp.linalg.norm(origin.ravel()) if has_origin else 1.0
-    zeros = jnp.zeros(y.shape, dtype)
-    err0 = jnp.full((max_epoch,), jnp.nan, dtype)
 
     def cond(carry):
         *_, epoch, done = carry
-        return (epoch < max_epoch) & ~done
+        return (epoch < epoch_cap) & ~done
 
     def body(carry):
         u1, u2, u3, o, x, lam3, err_hist, epoch, done = carry
@@ -203,13 +204,7 @@ def _sofia_init_run(
         done = (epoch > 0) & (rel < tol)
         return (u1, u2, u3, o, x, lam3, err_hist, epoch + 1, done)
 
-    u1, u2, u3, o, x, _, err_hist, n_epochs, _ = jax.lax.while_loop(
-        cond,
-        body,
-        (u1, u2, u3, zeros, zeros, jnp.asarray(lam3_init, dtype), err0,
-         jnp.asarray(0, jnp.int32), jnp.asarray(False)),
-    )
-    return u1, u2, u3, x, o, err_hist, n_epochs
+    return jax.lax.while_loop(cond, body, carry)
 
 
 def sofia_als(
@@ -236,6 +231,7 @@ def sofia_init(
     tol: float = 1e-5,
     als_max_iters: int = 300,
     key=None,
+    epoch_chunk: int | None = None,
 ):
     """Batch initialization (`sofia_init.m:60-101`).
 
@@ -253,11 +249,27 @@ def sofia_init(
 
     has_origin = origin is not None
     dummy = jnp.asarray(origin, y.dtype) if has_origin else jnp.zeros((1,), y.dtype)
-    u1, u2, u3, x, o, err_hist, n_epochs = _sofia_init_run(
-        y, omega, u1, u2, u3, dummy,
-        int(m), float(lam1), float(lam2), float(lam3),
-        int(max_epoch), int(als_max_iters), float(tol), has_origin,
+    zeros = jnp.zeros(shape, y.dtype)
+    carry = (
+        u1, u2, u3, zeros, zeros, jnp.asarray(lam3, y.dtype),
+        jnp.full((max_epoch,), jnp.nan, y.dtype),
+        jnp.asarray(0, jnp.int32), jnp.asarray(False),
     )
+    # Cap epochs per dispatch by the tensor size so one dispatch stays well
+    # under the worker watchdog even at video shapes (~23M entries).
+    chunk = epoch_chunk or max(1, min(max_epoch, int(2e8 // max(y.size, 1))))
+    cap = 0
+    while cap < max_epoch:
+        cap = min(cap + chunk, max_epoch)
+        carry = _sofia_init_epochs(
+            y, omega, carry, jnp.asarray(cap, jnp.int32), dummy,
+            int(m), float(lam1), float(lam2), float(lam3),
+            int(max_epoch), int(als_max_iters), float(tol),
+            has_origin,
+        )
+        if bool(carry[-1]):  # tol early stop fired inside the chunk
+            break
+    u1, u2, u3, o, x, _, err_hist, n_epochs, _ = carry
     n = int(n_epochs)
     hist = np.asarray(err_hist)[:n] if has_origin else np.zeros((0,))
     return (u1, u2, u3), x, o, hist
