@@ -202,7 +202,11 @@ def run_baseline(method: str, name: str, jax, jnp, np, svt_method: str = "gram",
     compile_s = time.perf_counter() - t0
 
     best = float("inf")
-    n_reps = 1 if method == "sofia" else reps  # sofia is host-epoch-looped
+    # sofia is host-epoch-chunk-looped; the video baselines are expensive
+    # enough (20-60 s/solve) that best-of-1 after the warm-up run is the
+    # honest-but-affordable protocol (the SVT-ADMMs run a fixed iteration
+    # count, so run-to-run variance is dispatch jitter only).
+    n_reps = 1 if (method == "sofia" or spec.kind == "video") else reps
     for _ in range(n_reps):
         t0 = time.perf_counter()
         x_hat, o, err_hist = run()
@@ -306,7 +310,10 @@ def main() -> None:
     # compiles are ~1-2 s. Extra configs run within a time budget so the
     # primary line always lands; --full / TRITD_BENCH_FULL=1 ignores it.
     start = time.perf_counter()
-    budget = float(os.environ.get("TRITD_BENCH_BUDGET_S", "900"))
+    # 1500 s default: the full 5-method x 8-config table fits once the video
+    # rows exploit the jit cache (above) and the randomized SVT keeps the
+    # FCTN video solves ~30 s (ops/svt.py); the alarm guards bound each row.
+    budget = float(os.environ.get("TRITD_BENCH_BUDGET_S", "1500"))
     unbounded = "--full" in sys.argv or os.environ.get("TRITD_BENCH_FULL") == "1"
     import signal
 
@@ -380,7 +387,7 @@ def main() -> None:
         ("fctn", "chicago", "gram"),
         ("sofia", "chicago", None),
     ]
-    if unbounded:
+    if unbounded or only is not None:
         for m in ("ttnn", "ring", "fctn", "sofia"):
             for v in ("sofa", "office", "PETS2006"):
                 baseline_plan.append((m, v, None if m == "sofia" else "gram"))
@@ -392,15 +399,24 @@ def main() -> None:
             (m, n, s) for (m, n, s) in baseline_plan
             if f"{m}:{n}" in only or f"{m}:{n}:{s}" in only
         ]
+    video_names = ("highway", "sofa", "office", "PETS2006")
+    seen_video_baseline = set()
     for method, name, svt_method in baseline_plan:
+        # sofa/office/PETS2006 share highway's shape and presets, so after
+        # the highway row each method's program is a jit-cache hit — run
+        # those budget-EXEMPT like the TriTD video rows.
+        cache_hit = name in video_names and method in seen_video_baseline
         guarded(
             lambda m=method, n=name, s=svt_method: run_baseline(
                 m, n, jax, jnp, np, svt_method=s or "gram"
             ),
             {"dataset": name, "method": method,
              **({"svt_method": svt_method} if svt_method == "svd" else {})},
-            alarm_s=240 if method == "sofia" else 180,
+            alarm_s=300 if (method == "sofia" or name in video_names) else 180,
+            exempt=cache_hit,
         )
+        if name in video_names:
+            seen_video_baseline.add(method)
 
     if unbounded or "--batched" in sys.argv:
         guarded(

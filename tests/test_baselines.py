@@ -101,6 +101,29 @@ def test_rc_fctn_runs_and_reduces_error(rng_key):
     assert hist[-1] < 0.3
 
 
+def test_rc_fctn_video_driver_chunked_matches_single_dispatch(rng_key):
+    """The video driver wrapper (chunked dispatches + the gram->auto SVT
+    upgrade) computes the same trajectory as one unchunked svd-path run —
+    at CPU-test scale every bipartition routes to gram (thin side <
+    LOWRANK_MIN_DIM), so the upgrade must be numerically inert here."""
+    from tritd_tpu.baselines.rc_fctn import rc_fctn_driver_video, _split_mode3
+
+    x = low_multilinear_tensor(rng_key, (8, 9, 20), rank=2)
+    mask = jnp.ones(x.shape, bool)
+    xh, s, hist = rc_fctn_driver_video(
+        x, mask, subdim=4, origin=x, max_iter=30, svt_method="gram"
+    )
+    x4 = _split_mode3(x, 4, 5)
+    xh_ref, s_ref, hist_ref = rc_fctn(
+        x4, lam=1.8, ind_obs=_split_mode3(mask.astype(x.dtype), 4, 5),
+        origin=x4, f=0.7, max_iter=30, svt_method="svd",
+    )
+    np.testing.assert_allclose(
+        np.asarray(hist), np.asarray(hist_ref), rtol=2e-3, atol=2e-4
+    )
+    assert np.isfinite(np.asarray(xh)).all()
+
+
 def cp_tensor(key, shape, r, scale=10.0):
     ks = jax.random.split(key, 3)
     us = [jax.random.normal(k, (s, r)) for k, s in zip(ks, shape)]

@@ -274,6 +274,62 @@ def test_svt_gram_ill_conditioned_small_tau(rng_key):
         assert diff < bound, (tau, diff)
 
 
+def test_svt_lowrank_matches_svd(rng_key):
+    """The randomized top-k SVT path == the SVD path whenever the operator's
+    retained rank fits the budget — the RC-FCTN video regime (square-ish
+    matrices, ref-compat `>1` gate). Decaying spectrum, retained rank ~12,
+    budget 64 with plenty of slack."""
+    k1, k2 = jax.random.split(rng_key)
+    p, q = 300, 420
+    uu, _ = jnp.linalg.qr(jax.random.normal(k1, (p, p)))
+    vv, _ = jnp.linalg.qr(jax.random.normal(k2, (q, p)))
+    s = (50.0 * jnp.exp(-0.3 * jnp.arange(p))).astype(jnp.float32)
+    for m in ((uu * s[None, :]) @ vv.T, ((uu * s[None, :]) @ vv.T).T):
+        ref = np.asarray(svt_ref_compat(m, 0.7, method="svd"))
+        got = np.asarray(svt_ref_compat(m, 0.7, method="lowrank:64"))
+        np.testing.assert_allclose(got, ref, rtol=0, atol=5e-4 * float(s[0]))
+
+
+def test_svt_lowrank_threshold_noise_floor(rng_key):
+    """Components near the ref-compat truncation threshold: with a dense
+    sub-threshold tail (the hard case for a randomized range finder) every
+    CLEARLY retained component is reproduced; total error stays at the scale
+    of the threshold itself (each misresolved component has |f(sigma)| ~ 1),
+    NOT at the scale of sigma_max."""
+    k1, k2, k3 = jax.random.split(rng_key, 3)
+    p, q = 256, 256
+    uu, _ = jnp.linalg.qr(jax.random.normal(k1, (p, p)))
+    vv, _ = jnp.linalg.qr(jax.random.normal(k2, (q, q)))
+    # 10 big components, then a dense tail hugging the threshold tau+1=1.7
+    s = jnp.concatenate([
+        jnp.linspace(200.0, 50.0, 10),
+        jnp.linspace(2.2, 0.1, p - 10),
+    ]).astype(jnp.float32)
+    m = (uu * s[None, :]) @ vv[:q].T
+    ref = np.asarray(svt_ref_compat(m, 0.7, method="svd"))
+    got = np.asarray(svt_ref_compat(m, 0.7, method="lowrank:64"))
+    # spectral-norm error bounded by a small multiple of the threshold
+    err = np.linalg.norm(got - ref, 2)
+    assert err < 5.0, err
+
+
+def test_svt_auto_routing():
+    """auto_method: gram below LOWRANK_MIN_DIM, lowrank at/above; the
+    "auto" string resolves per static shape inside _apply_spectral."""
+    from tritd_tpu.ops.svt import LOWRANK_BUDGET, LOWRANK_MIN_DIM, auto_method
+
+    assert auto_method(100, 50000) == "gram"
+    assert auto_method(LOWRANK_MIN_DIM - 1, 10**6) == "gram"
+    assert auto_method(4800, 4800) == f"lowrank:{LOWRANK_BUDGET}"
+    assert auto_method(3600, 6400) == f"lowrank:{LOWRANK_BUDGET}"
+    # "auto" accepted by the public entry points (small shape -> gram route)
+    m = jnp.eye(8) * 5.0
+    np.testing.assert_allclose(
+        np.asarray(svt(m, 1.0, method="auto")), np.asarray(svt(m, 1.0)),
+        atol=1e-5,
+    )
+
+
 def test_svt_default_is_svd():
     """r2 advisor (medium): plain svt defaults to the backward-stable SVD
     path; gram is an explicit opt-in for the TPU hot path."""

@@ -213,10 +213,21 @@ def rc_fctn_driver_video(
     y4 = _split_mode3(y, n3, n4)
     origin4 = _split_mode3(origin, n3, n4) if origin is not None else None
     ind = _split_mode3(mask_obs.astype(y.dtype), n3, n4)
-    # chunk=5: the (I*sub)x(J*K/sub) bipartitions at video shape make one
-    # iteration ~seconds (4800x4800 eigh); see _rc_fctn_steps docstring.
+    # "gram" is upgraded to "auto" here: the video bipartitions are
+    # square-ish (4800x4800, 3600x6400 at subdim 20), where the Gram trick
+    # still leaves a ~1 s eigh per bipartition per iteration on a v5e —
+    # ~200 s per solve vs the reference's published 50.64 s. "auto" routes
+    # those (and only those — thin-side >= ops/svt.py LOWRANK_MIN_DIM) to
+    # the randomized top-k SVT, whose retained-rank validity at this shape
+    # is measured in docs/BENCH_NOTES.md. Explicit "svd"/"lowrank:<b>"
+    # requests pass through untouched.
+    if svt_method == "gram":
+        svt_method = "auto"
+    # chunk=25: bounds a single device dispatch well under the TPU worker
+    # watchdog (one 100-iteration dispatch crashed the worker, round 3);
+    # see _rc_fctn_steps docstring.
     x4, s4, err_hist = rc_fctn(
         y4, 1.8, ind, origin=origin4, f=0.7, max_iter=max_iter,
-        svt_method=svt_method, chunk=5,
+        svt_method=svt_method, chunk=25,
     )
     return _merge_mode3(x4), _merge_mode3(s4), err_hist

@@ -45,23 +45,102 @@ numerics, backward-stable); callers on the TPU hot path opt into "gram"
 explicitly — the baseline benchmark does so after an at-scale parity check
 (`tests/test_ops.py` pins gram vs svd at the 100×50000 benchmark shape and
 on ill-conditioned spectra). Shapes are static so everything jits.
+
+Third route, ``method="lowrank[:budget]"`` (and the shape-static router
+``"auto"``): the RC-FCTN video protocol SVTs *square-ish* bipartitions
+(4800×4800, 3600×6400 — `video_triple_comparison.m:209-224` at
+subdim 20), where even the Gram trick leaves a large eigh — measured
+1.08 s at 4800 on a v5e, i.e. ~2 s/iteration and a LOST benchmark row.
+The ref-compat gate zeroes every shrunk σ ≤ 1, so the exact SVT output is
+rank-#{σ > τ+1}; randomized subspace iteration (GEMMs + thin QRs + one
+budget² eigh — all MXU work) captures that head directly. See
+:func:`_lowrank_apply` for the validity condition and
+`tests/test_ops.py` for svd-parity pins.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .shrinkage import soft_threshold
+
+#: Thin-side size above which :func:`auto_method` upgrades "gram" to the
+#: randomized top-k path — at/above this, XLA's QDWH eigh is ~1 s on a v5e
+#: (measured: eigh(4800) = 1.08 s) while the whole randomized SVT is a
+#: handful of large GEMMs (~10 ms-scale).
+LOWRANK_MIN_DIM = 2048
+#: Default rank budget of the randomized path (multiple of the 128-lane MXU
+#: tile). Sized ~4x the retained ranks measured on the benchmark iterates.
+LOWRANK_BUDGET = 768
+
+
+def auto_method(p: int, q: int, budget: int = LOWRANK_BUDGET) -> str:
+    """Static, shape-based SVT routing for TPU (jit-safe: shapes are static).
+
+    * thin-side < LOWRANK_MIN_DIM → ``"gram"`` (k×k eigh is cheap);
+    * otherwise → ``"lowrank:<budget>"`` — a big square-ish spectral
+      decomposition is the one thing the TPU's MXU-centric XLA backend does
+      slowly (QDWH eigh ~1 s at 4800), while blocked-GEMM subspace iteration
+      stays on the MXU.
+    """
+    return "gram" if min(p, q) < LOWRANK_MIN_DIM else f"lowrank:{budget}"
+
+
+def _lowrank_apply(m: jnp.ndarray, shrink, budget: int) -> jnp.ndarray:
+    """Top-`budget` spectral shrinkage by randomized subspace iteration —
+    GEMMs + thin QRs + one budget×budget eigh; never a large eigh/SVD.
+
+    Valid whenever `shrink` zeroes the spectrum below the captured range —
+    then the *exact* operator output is itself rank-limited and the
+    randomized range finder only needs to capture every component the
+    operator keeps. The ref-compat `>1` gate guarantees this as long as the
+    retained rank (#{σ > τ+1}) fits the budget; plain soft-thresholding
+    qualifies only when τ exceeds the (budget+1)-th singular value.
+    Components near the truncation threshold are resolved up to the f32
+    noise floor (the same components an exact SVD resolves to ±eps·σ_max).
+    `budget` must exceed the operator's retained rank — callers size it from
+    measured iterate spectra (see docs/BENCH_NOTES.md); excess components
+    beyond the budget are dropped (they would be near/below threshold).
+    """
+    p, q = m.shape
+    if p > q:
+        return _lowrank_apply(m.T, shrink, budget).T
+    b = min(budget, p)
+    key = jax.random.fold_in(jax.random.PRNGKey(20260821), p * 131071 + q)
+    omega = jax.random.normal(key, (q, b), m.dtype)
+    y = m @ omega
+    # Two power passes with Householder-QR re-orthonormalization between
+    # passes (CholQR would square the iterate's condition number, which the
+    # power iteration makes astronomically large).
+    for _ in range(2):
+        y = jnp.linalg.qr(y)[0]
+        y = m @ (m.T @ y)
+    qmat = jnp.linalg.qr(y)[0]                      # p×b orthonormal range
+    bmat = qmat.T @ m                               # b×q
+    _, u_hat = jnp.linalg.eigh(bmat @ bmat.T)       # b×b
+    proj = u_hat.T @ bmat                           # rows are σ_i·v_iᵀ
+    s = jnp.sqrt(jnp.sum(proj * proj, axis=1))      # refined σ (see gram path)
+    scale = shrink(s) / jnp.maximum(s, jnp.finfo(m.dtype).tiny)
+    return (qmat @ (u_hat * scale[None, :])) @ proj
 
 
 def _apply_spectral(m: jnp.ndarray, shrink, method: str) -> jnp.ndarray:
     """Reconstruct with shrunk singular values: shrink(σ) maps the singular
     values to their replacements (zeros drop the component)."""
+    if method == "auto":
+        method = auto_method(*m.shape)
     if method == "svd":
         u, s, vt = jnp.linalg.svd(m, full_matrices=False)
         return (u * shrink(s)[None, :]) @ vt
+    if method.startswith("lowrank"):
+        _, _, budget = method.partition(":")
+        return _lowrank_apply(m, shrink, int(budget) if budget else LOWRANK_BUDGET)
     if method != "gram":
-        raise ValueError(f"unknown SVT method {method!r}; use 'gram' or 'svd'")
+        raise ValueError(
+            f"unknown SVT method {method!r}; use 'gram', 'svd', 'auto', or"
+            " 'lowrank[:budget]'"
+        )
     p, q = m.shape
     if p <= q:
         _, u = jnp.linalg.eigh(m @ m.T)
