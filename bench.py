@@ -412,7 +412,8 @@ def main() -> None:
             ),
             {"dataset": name, "method": method,
              **({"svt_method": svt_method} if svt_method == "svd" else {})},
-            alarm_s=300 if (method == "sofia" or name in video_names) else 180,
+            alarm_s=600 if (method == "sofia" and name in video_names)
+            else 300 if (method == "sofia" or name in video_names) else 180,
             exempt=cache_hit,
         )
         if name in video_names:

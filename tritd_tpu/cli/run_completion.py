@@ -106,6 +106,12 @@ def main(argv=None) -> list[dict]:
     p.add_argument("--out-dir", default="results")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
+        "--svt-method", default="svd",
+        help="SVT route for the SVT-ADMM baselines: 'svd' (exact-reference"
+        " numerics, default), 'gram' (TPU Gram-eigh), 'auto'/'lowrank:<b>'"
+        " (shape-routed randomized top-k; see ops/svt.py)",
+    )
+    p.add_argument(
         "--platform", default=None, choices=("cpu", "tpu"),
         help="force a JAX backend (the axon TPU plugin overrides the "
         "JAX_PLATFORMS env var, so a config-level override is needed to "
@@ -127,7 +133,8 @@ def main(argv=None) -> list[dict]:
         for method in args.methods:
             t0 = time.perf_counter()
             x_hat, o, err_hist = run_method(
-                method, y, x, mask, spec, key, args.max_iter
+                method, y, x, mask, spec, key, args.max_iter,
+                svt_method=args.svt_method,
             )
             jax.block_until_ready(x_hat)
             elapsed = time.perf_counter() - t0

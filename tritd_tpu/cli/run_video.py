@@ -47,6 +47,10 @@ def main(argv=None) -> list[dict]:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--fg-threshold", type=float, default=50.0)
     p.add_argument(
+        "--svt-method", default="svd",
+        help="SVT route for the SVT-ADMM baselines (see run_completion)",
+    )
+    p.add_argument(
         "--platform", default=None, choices=("cpu", "tpu"),
         help="force a JAX backend (the axon TPU plugin overrides the "
         "JAX_PLATFORMS env var, so a config-level override is needed to "
@@ -83,7 +87,8 @@ def main(argv=None) -> list[dict]:
             from .run_completion import run_method
 
             x_hat, o, err_hist = run_method(
-                args.method, y, x, mask, spec, key, args.max_iter
+                args.method, y, x, mask, spec, key, args.max_iter,
+                svt_method=args.svt_method,
             )
         jax.block_until_ready(x_hat)
         elapsed = time.perf_counter() - t0

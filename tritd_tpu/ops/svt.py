@@ -71,8 +71,9 @@ from .shrinkage import soft_threshold
 #: handful of large GEMMs (~10 ms-scale).
 LOWRANK_MIN_DIM = 2048
 #: Default rank budget of the randomized path (multiple of the 128-lane MXU
-#: tile). Sized ~4x the retained ranks measured on the benchmark iterates.
-LOWRANK_BUDGET = 768
+#: tile). Sized ~4x the retained ranks measured on the benchmark iterates
+#: (130-270 at video shape, docs/BENCH_NOTES.md).
+LOWRANK_BUDGET = 1024
 
 
 def auto_method(p: int, q: int, budget: int = LOWRANK_BUDGET) -> str:
