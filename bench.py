@@ -387,10 +387,12 @@ def main() -> None:
         ("fctn", "chicago", "gram"),
         ("sofia", "chicago", None),
     ]
-    if unbounded or only is not None:
-        for m in ("ttnn", "ring", "fctn", "sofia"):
-            for v in ("sofa", "office", "PETS2006"):
-                baseline_plan.append((m, v, None if m == "sofia" else "gram"))
+    # The three remaining video sequences share highway's shape/presets, so
+    # these rows are jit-cache hits after the highway rows above — they run
+    # in every mode (each is alarm-guarded and budget-exempt below).
+    for m in ("ttnn", "ring", "fctn", "sofia"):
+        for v in ("sofa", "office", "PETS2006"):
+            baseline_plan.append((m, v, None if m == "sofia" else "gram"))
     # --only method:dataset[:svt],... filters rows (TriTD rows need
     # triple:<ds>) — for focused reruns of rows a prior run lost (e.g.
     # after a TPU worker crash).
@@ -413,7 +415,8 @@ def main() -> None:
             {"dataset": name, "method": method,
              **({"svt_method": svt_method} if svt_method == "svd" else {})},
             alarm_s=600 if (method == "sofia" and name in video_names)
-            else 300 if (method == "sofia" or name in video_names) else 180,
+            else 420 if (method == "sofia" or name in video_names
+                         or name == "chicago") else 180,
             exempt=cache_hit,
         )
         if name in video_names:

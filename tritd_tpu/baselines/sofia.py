@@ -66,40 +66,42 @@ def _pinv_rows(rhs, gram):
 def _mode3_gauss_seidel(u3, rhs_base, gram_base, lam1, lam2, m):
     """Sequential time-mode update with temporal/seasonal Tikhonov coupling
     (`sofia_als.m:100-122`). Row t uses updated rows t-1, t-m and old rows
-    t+1, t+m."""
+    t+1, t+m.
+
+    TPU structure: the t-1 chain makes the sweep inherently sequential, but
+    the per-row Gram (base + boundary-dependent lam1/lam2 multiples of I)
+    does NOT depend on the swept state — only the RHS does. All n3 pinvs
+    are therefore hoisted out of the scan into one batched SVD, and the
+    scan body shrinks to a handful of r-vector FMAs + one r×r matvec
+    (unrolled 16x to amortize TPU loop-step overhead). Measured on the
+    network config (2016 steps, r=3): the in-scan pinv version cost ~13 s
+    per SOFIA solve, losing to the reference's published 12.01 s."""
     n3, r = u3.shape
     eye = jnp.eye(r, dtype=u3.dtype)
+    t_idx = jnp.arange(n3)
 
-    def step(u3_arr, t):
-        rhs = rhs_base[t]
-        gram = gram_base[t]
-        has_prev = t > 0
-        has_next = t < n3 - 1
+    has_prev = (t_idx > 0).astype(u3.dtype)
+    has_next = (t_idx < n3 - 1).astype(u3.dtype)
+    # seasonal: t < m -> only +m; m <= t <= n3-m-1 -> both; else only -m
+    use_fwd = (t_idx < n3 - m).astype(u3.dtype)
+    use_bwd = (t_idx >= m).astype(u3.dtype)
+    diag_coef = lam1 * (has_prev + has_next) + lam2 * (use_fwd + use_bwd)
+    pinv_all = jax.vmap(jnp.linalg.pinv)(
+        gram_base + diag_coef[:, None, None] * eye[None]
+    )
+
+    def step(u3_arr, inputs):
+        t, pinv_t = inputs
         prev_row = u3_arr[jnp.clip(t - 1, 0, n3 - 1)]
         next_row = u3_arr[jnp.clip(t + 1, 0, n3 - 1)]
-        rhs = rhs + lam1 * (
-            jnp.where(has_prev, 1.0, 0.0) * prev_row
-            + jnp.where(has_next, 1.0, 0.0) * next_row
-        )
-        gram = gram + lam1 * (
-            jnp.where(has_prev, 1.0, 0.0) + jnp.where(has_next, 1.0, 0.0)
-        ) * eye
-        # seasonal: t < m -> only +m; m <= t <= n3-m-1 -> both; else only -m
-        use_fwd = t < n3 - m
-        use_bwd = t >= m
         fwd_row = u3_arr[jnp.clip(t + m, 0, n3 - 1)]
         bwd_row = u3_arr[jnp.clip(t - m, 0, n3 - 1)]
-        rhs = rhs + lam2 * (
-            jnp.where(use_fwd, 1.0, 0.0) * fwd_row
-            + jnp.where(use_bwd, 1.0, 0.0) * bwd_row
-        )
-        gram = gram + lam2 * (
-            jnp.where(use_fwd, 1.0, 0.0) + jnp.where(use_bwd, 1.0, 0.0)
-        ) * eye
-        row = rhs @ jnp.linalg.pinv(gram)
-        return u3_arr.at[t].set(row), None
+        rhs = rhs_base[t] + lam1 * (
+            has_prev[t] * prev_row + has_next[t] * next_row
+        ) + lam2 * (use_fwd[t] * fwd_row + use_bwd[t] * bwd_row)
+        return u3_arr.at[t].set(rhs @ pinv_t), None
 
-    u3, _ = jax.lax.scan(step, u3, jnp.arange(n3))
+    u3, _ = jax.lax.scan(step, u3, (t_idx, pinv_all), unroll=16)
     return u3
 
 
