@@ -182,21 +182,27 @@ def svt_profile(shape):
     from tritd_tpu.ops.svt import svt
 
     n1, n2, n3 = shape
+    # (label, (p, q), extra methods): the square-ish RC-FCTN video
+    # bipartitions get the randomized top-k route too (its production
+    # route via auto_method; budget matters only above LOWRANK_MIN_DIM).
     mats = {
-        f"{n1}x{n2 * n3}": (n1, n2 * n3),
-        f"{n1 * n2}x{n3}": (n1 * n2, n3),
-        "100x50000 (taxi m1)": (100, 50000),
-        "76800x300 (video TTcut)": (76800, 300),
+        f"{n1}x{n2 * n3}": ((n1, n2 * n3), ()),
+        f"{n1 * n2}x{n3}": ((n1 * n2, n3), ()),
+        "100x50000 (taxi m1)": ((100, 50000), ()),
+        "76800x300 (video TTcut)": ((76800, 300), ()),
+        "4800x4800 (FCTN video)": ((4800, 4800), ("lowrank:1024",)),
+        "3600x6400 (FCTN video)": ((3600, 6400), ("lowrank:1024",)),
     }
-    lo, hi = 4, 24
-    print("\nSVT throughput (baseline-suite hot op), gram vs svd:")
+    print("\nSVT throughput (baseline-suite hot op), gram vs svd vs lowrank:")
     key = jax.random.PRNGKey(0)
-    for label, (p, q) in mats.items():
+    for label, ((p, q), extra) in mats.items():
+        # big square shapes: ~1 s/decomposition — difference 1 vs 3 reps
+        lo, hi = (1, 3) if min(p, q) >= 2048 else (4, 24)
         u = jax.random.normal(key, (p, 8))
         v = jax.random.normal(jax.random.fold_in(key, 1), (8, q))
         m = (u @ v + 0.1 * jax.random.normal(jax.random.fold_in(key, 2), (p, q))
              ).astype(jnp.float32)
-        for method in ("gram", "svd"):
+        for method in ("gram", "svd") + extra:
             def make(reps, method=method):
                 @jax.jit
                 def loop(m):

@@ -115,6 +115,14 @@ def main(argv=None) -> list[dict]:
         }
 
         gt = load_groundtruth(name, args.data_dir)
+        if gt is None and provenance == "synthetic":
+            # Synthetic stand-in: score against its OWN moving-object truth
+            # (bench.py does the same; labels use the CDnet 0/255 convention
+            # so the scorer's non-ROI-170 handling stays exercised).
+            from ..data import synthetic_video_truth
+
+            _, _, fg_mask = synthetic_video_truth(spec)
+            gt = np.where(np.asarray(fg_mask), 255.0, 0.0)
         if gt is not None:
             scores = foreground_scores(np.asarray(o), gt, args.fg_threshold)
             row.update(
