@@ -9,8 +9,9 @@ Round-3 capture on one TPU v5e (2026-08-21):
     lowrank: 110.9s (incl ~100 s compile)  gram: 411.5s
     max |hist_l - hist_g| = 2.0e-05        rel final-X diff = 0.0045
 
-Usage: python tools/validate_lowrank_svt.py [n_iters=50]
-(foreground — the axon TPU env does not reach background shells).
+Usage: python tools/validate_lowrank_svt.py [n_iters=50] [method=auto]
+(method e.g. "lowrank:512" to validate a non-default budget; foreground —
+the axon TPU env does not reach background shells).
 """
 import sys
 import time
@@ -24,6 +25,7 @@ from tritd_tpu.data import load_dataset
 
 def main() -> None:
     n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    method = sys.argv[2] if len(sys.argv) > 2 else "auto"
     t0 = time.perf_counter()
     x_np, spec, _ = load_dataset("highway")
     x = jnp.asarray(x_np, jnp.float32)
@@ -34,7 +36,7 @@ def main() -> None:
     print(f"setup {time.perf_counter() - t0:.1f}s", flush=True)
 
     res = {}
-    for label, meth, chunk in (("lowrank", "auto", 25), ("gram", "gram", 5)):
+    for label, meth, chunk in ((method, method, 25), ("gram", "gram", 5)):
         t0 = time.perf_counter()
         xh, _, hist = rc_fctn(
             y4, 1.8, ind, origin=y4, f=0.7, max_iter=n_iters,
@@ -47,9 +49,9 @@ def main() -> None:
             f"err[first,last]={hist[0]:.4g},{hist[-1]:.4g}", flush=True,
         )
 
-    hl, hg = res["lowrank"][0], res["gram"][0]
-    xl, xg = res["lowrank"][1], res["gram"][1]
-    print("max |hist_lowrank - hist_gram| =", float(np.max(np.abs(hl - hg))))
+    hl, hg = res[method][0], res["gram"][0]
+    xl, xg = res[method][1], res["gram"][1]
+    print(f"max |hist_{method} - hist_gram| =", float(np.max(np.abs(hl - hg))))
     print(
         "rel final-X diff =",
         float(jnp.linalg.norm((xl - xg).ravel()) / jnp.linalg.norm(xg.ravel())),
