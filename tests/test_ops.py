@@ -322,12 +322,15 @@ def test_svt_auto_routing():
     assert auto_method(LOWRANK_MIN_DIM - 1, 10**6) == "gram"
     assert auto_method(4800, 4800) == f"lowrank:{LOWRANK_BUDGET}"
     assert auto_method(3600, 6400) == f"lowrank:{LOWRANK_BUDGET}"
-    # "auto" accepted by the public entry points (small shape -> gram route)
+    assert auto_method(4800, 4800, budget=512) == "lowrank:512"
+    # "auto"/"auto:<b>" accepted by the public entry points (small shape ->
+    # gram route either way)
     m = jnp.eye(8) * 5.0
-    np.testing.assert_allclose(
-        np.asarray(svt(m, 1.0, method="auto")), np.asarray(svt(m, 1.0)),
-        atol=1e-5,
-    )
+    for meth in ("auto", "auto:512"):
+        np.testing.assert_allclose(
+            np.asarray(svt(m, 1.0, method=meth)), np.asarray(svt(m, 1.0)),
+            atol=1e-5,
+        )
 
 
 def test_svt_default_is_svd():

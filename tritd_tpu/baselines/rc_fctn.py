@@ -213,16 +213,18 @@ def rc_fctn_driver_video(
     y4 = _split_mode3(y, n3, n4)
     origin4 = _split_mode3(origin, n3, n4) if origin is not None else None
     ind = _split_mode3(mask_obs.astype(y.dtype), n3, n4)
-    # "gram" is upgraded to "auto" here: the video bipartitions are
+    # "gram" is upgraded to "auto:512" here: the video bipartitions are
     # square-ish (4800x4800, 3600x6400 at subdim 20), where the Gram trick
     # still leaves a ~1 s eigh per bipartition per iteration on a v5e —
     # ~200 s per solve vs the reference's published 50.64 s. "auto" routes
     # those (and only those — thin-side >= ops/svt.py LOWRANK_MIN_DIM) to
-    # the randomized top-k SVT, whose retained-rank validity at this shape
-    # is measured in docs/BENCH_NOTES.md. Explicit "svd"/"lowrank:<b>"
+    # the randomized top-k SVT; budget 512 is validated at this shape
+    # (tools/validate_lowrank_svt.py: err_hist within 3.9e-5 of the exact
+    # path over 50 iterations; docs/BENCH_NOTES.md) and its budget^2 eigh
+    # is 3x cheaper than the 1024 default's. Explicit "svd"/"lowrank:<b>"
     # requests pass through untouched.
     if svt_method == "gram":
-        svt_method = "auto"
+        svt_method = "auto:512"
     # chunk=25: bounds a single device dispatch well under the TPU worker
     # watchdog (one 100-iteration dispatch crashed the worker, round 3);
     # see _rc_fctn_steps docstring.

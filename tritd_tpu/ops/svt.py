@@ -129,8 +129,11 @@ def _lowrank_apply(m: jnp.ndarray, shrink, budget: int) -> jnp.ndarray:
 def _apply_spectral(m: jnp.ndarray, shrink, method: str) -> jnp.ndarray:
     """Reconstruct with shrunk singular values: shrink(σ) maps the singular
     values to their replacements (zeros drop the component)."""
-    if method == "auto":
-        method = auto_method(*m.shape)
+    if method == "auto" or method.startswith("auto:"):
+        _, _, budget = method.partition(":")
+        method = auto_method(
+            *m.shape, **({"budget": int(budget)} if budget else {})
+        )
     if method == "svd":
         u, s, vt = jnp.linalg.svd(m, full_matrices=False)
         return (u * shrink(s)[None, :]) @ vt
@@ -139,8 +142,8 @@ def _apply_spectral(m: jnp.ndarray, shrink, method: str) -> jnp.ndarray:
         return _lowrank_apply(m, shrink, int(budget) if budget else LOWRANK_BUDGET)
     if method != "gram":
         raise ValueError(
-            f"unknown SVT method {method!r}; use 'gram', 'svd', 'auto', or"
-            " 'lowrank[:budget]'"
+            f"unknown SVT method {method!r}; use 'gram', 'svd',"
+            " 'auto[:budget]', or 'lowrank[:budget]'"
         )
     p, q = m.shape
     if p <= q:
