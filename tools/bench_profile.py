@@ -190,8 +190,8 @@ def svt_profile(shape):
         f"{n1 * n2}x{n3}": ((n1 * n2, n3), ()),
         "100x50000 (taxi m1)": ((100, 50000), ()),
         "76800x300 (video TTcut)": ((76800, 300), ()),
-        "4800x4800 (FCTN video)": ((4800, 4800), ("lowrank:1024",)),
-        "3600x6400 (FCTN video)": ((3600, 6400), ("lowrank:1024",)),
+        "4800x4800 (FCTN video)": ((4800, 4800), ("lowrank:1024", "lowrank:512")),
+        "3600x6400 (FCTN video)": ((3600, 6400), ("lowrank:1024", "lowrank:512")),
     }
     print("\nSVT throughput (baseline-suite hot op), gram vs svd vs lowrank:")
     key = jax.random.PRNGKey(0)
