@@ -173,6 +173,44 @@ def test_sofia_als_fits_masked_cp(rng_key):
     assert exact_err < 1e-4
 
 
+def test_sofia_mode3_gauss_seidel_matches_rowwise_reference(rng_key):
+    """The TPU form of the temporal sweep (all pinvs batched outside the
+    scan, 16x unroll) == a direct per-row Python sweep of the reference
+    recurrence (`sofia_als.m:100-122`): row t solved against updated rows
+    t-1/t-m and old rows t+1/t+m."""
+    from tritd_tpu.baselines.sofia import _mode3_gauss_seidel
+
+    n3, r, m = 37, 4, 7
+    lam1, lam2 = 0.3, 0.15
+    k1, k2, k3 = jax.random.split(rng_key, 3)
+    u3 = jax.random.normal(k1, (n3, r))
+    rhs = jax.random.normal(k2, (n3, r))
+    g = jax.random.normal(k3, (n3, r, r))
+    gram = jnp.einsum("tij,tkj->tik", g, g) + 0.5 * jnp.eye(r)[None]
+
+    got = np.asarray(_mode3_gauss_seidel(u3, rhs, gram, lam1, lam2, m))
+
+    ref = np.asarray(u3).copy()
+    eye = np.eye(r)
+    for t in range(n3):
+        rr = np.asarray(rhs[t]).copy()
+        gg = np.asarray(gram[t]).copy()
+        if t > 0:
+            rr += lam1 * ref[t - 1]
+            gg += lam1 * eye
+        if t < n3 - 1:
+            rr += lam1 * ref[t + 1]
+            gg += lam1 * eye
+        if t >= m:
+            rr += lam2 * ref[t - m]
+            gg += lam2 * eye
+        if t < n3 - m:
+            rr += lam2 * ref[t + m]
+            gg += lam2 * eye
+        ref[t] = rr @ np.linalg.pinv(gg)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
 def test_sofia_init_peels_outliers(rng_key):
     """On seasonal CP data + spikes, the annealed outlier peel isolates the
     spikes and the oracle RRE drops well below the corrupted level. (On
