@@ -2,13 +2,20 @@
 
 Primary metric (stdout, ONE JSON line): the taxi completion configuration —
 the reference's most expensive TriTD row (53.90 s MATLAB, RRE 0.338 at 10%
-missing, r=5). Detail lines go to stderr:
+missing, r=5). Detail lines go to stderr.
 
-* all eight TriTD configs (4 completion + 4 video);
+Default (no args): primary + the seven remaining TriTD configs only — a few
+minutes of post-warm-up work, sized to exit 0 inside an external driver
+timeout (VERDICT r3 #1).
+
+`--full` / TRITD_BENCH_FULL=1 adds:
+
+* RTT-cancelled device-rate details per TriTD config;
 * the four baseline methods (TTNN, RING/TRLRF, RC-FCTN, SOFIA) at the
-  reference's own presets/iteration counts on the benchmark shapes — the
-  reference's headline deliverable is the 5-method comparison table
-  (`README.md:57-63,71-77`), so the bench measures every column of it.
+  reference's own presets/iteration counts on ALL eight benchmark shapes —
+  the reference's headline deliverable is the 5-method comparison table
+  (`README.md:57-63,71-77`), so the full bench measures every column of it;
+* the cross-dataset vmap-batched completion row.
 
 Datasets load from data/<name>.mat when present; otherwise seeded synthetic
 stand-ins of the published shapes (identical compute profile — the
@@ -72,8 +79,11 @@ def _load(name, jax, jnp):
     return x, y, mask, spec, provenance, key
 
 
-def run_config(name: str, jax, jnp, np):
-    """TriTD-ADMM row: end-to-end wall clock + RTT-cancelled device rate."""
+def run_config(name: str, jax, jnp, np, rate_detail: bool = True):
+    """TriTD-ADMM row: end-to-end wall clock; with `rate_detail`, also the
+    RTT-cancelled device iteration rate (a few extra program compiles —
+    skipped in the default quick plan so the no-arg run stays inside the
+    driver's timeout, VERDICT r3 #1)."""
     from tritd_tpu.metrics.foreground import foreground_scores
     from tritd_tpu.metrics.image import quality
     from tritd_tpu.metrics.recon import rre
@@ -120,14 +130,21 @@ def run_config(name: str, jax, jnp, np):
             t_hi = min(t_hi, time.perf_counter() - t0)
         return max(t_hi - t_lo, 1e-9) / (hi - lo), t_lo, lo
 
-    device_s_per_iter, t_lo, lo = differenced_rate(50, 250)
-    # Small configs: 200 iterations can complete in < ~10 ms, so tunnel-RTT
-    # jitter (a few ms between calls) dominates the differenced quantity —
-    # the source of the r2 sensor 49k-vs-30k discrepancy (VERDICT weak #1).
-    # Re-measure with a 1000-iteration spread so the differenced device time
-    # is >= ~30 ms >> jitter.
-    if device_s_per_iter * 200 < 0.030:
-        device_s_per_iter, t_lo, lo = differenced_rate(100, 1100)
+    rate_row = {}
+    if rate_detail:
+        device_s_per_iter, t_lo, lo = differenced_rate(50, 250)
+        # Small configs: 200 iterations can complete in < ~10 ms, so tunnel-
+        # RTT jitter (a few ms between calls) dominates the differenced
+        # quantity — the source of the r2 sensor 49k-vs-30k discrepancy
+        # (VERDICT weak #1). Re-measure with a 1000-iteration spread so the
+        # differenced device time is >= ~30 ms >> jitter.
+        if device_s_per_iter * 200 < 0.030:
+            device_s_per_iter, t_lo, lo = differenced_rate(100, 1100)
+        rate_row = {
+            "device_us_per_iter": round(device_s_per_iter * 1e6, 2),
+            "device_iters_per_s": round(1.0 / device_s_per_iter, 1),
+            "call_overhead_ms": round((t_lo - lo * device_s_per_iter) * 1e3, 1),
+        }
 
     x_hat = triple_product(res.a, res.b, res.c)
     # RRE is only comparable to the published number when run on the SAME
@@ -141,9 +158,7 @@ def run_config(name: str, jax, jnp, np):
         "seconds": round(best, 4),
         "n_iters": int(res.n_iters),
         "iters_per_s": round(int(res.n_iters) / best, 2),
-        "device_us_per_iter": round(device_s_per_iter * 1e6, 2),
-        "device_iters_per_s": round(1.0 / device_s_per_iter, 1),
-        "call_overhead_ms": round((t_lo - lo * device_s_per_iter) * 1e3, 1),
+        **rate_row,
         "rre_all_entries": round(float(rre(x_hat, x)), 4),
         "rre_comparable_to_baseline": real,
         "baseline_seconds": BASELINE_SECONDS.get(name),
@@ -186,6 +201,13 @@ def run_baseline(method: str, name: str, jax, jnp, np, svt_method: str = "gram",
     from tritd_tpu.metrics.recon import rre
 
     x, y, mask, spec, provenance, key = _load(name, jax, jnp)
+    if method == "fctn" and spec.kind == "video":
+        # Resolve "auto" to the driver's validated budget HERE so the row
+        # records the route that actually ran (r3 advisor, medium): an
+        # explicit "gram"/"svd" request passes through — and runs — as-is.
+        from tritd_tpu.baselines.rc_fctn import resolve_video_svt_method
+
+        svt_method = resolve_video_svt_method(svt_method)
     max_iter = 100
 
     def run():
@@ -294,7 +316,17 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    primary = run_config("taxi", jax, jnp, np)
+    # --full / TRITD_BENCH_FULL=1: the complete 5-method x 8-config table +
+    # rate details + the batched row (~25-40 min incl. first-touch compiles;
+    # the r3/r4 full captures in docs/BENCH_FULL_r*.json come from this
+    # mode, run in a controlled foreground session). The no-arg default is
+    # sized to finish well inside the driver's external timeout (VERDICT r3
+    # #1: the r3 default plan was timeout-killed at rc 124): primary row +
+    # the 7 remaining TriTD configs, no baseline rows, no rate-detail
+    # compiles, <= ~4 min of post-warm-up work.
+    unbounded = "--full" in sys.argv or os.environ.get("TRITD_BENCH_FULL") == "1"
+
+    primary = run_config("taxi", jax, jnp, np, rate_detail=unbounded)
     print(
         json.dumps(
             {
@@ -313,33 +345,34 @@ def main() -> None:
     # compiles are ~1-2 s. Extra configs run within a time budget so the
     # primary line always lands; --full / TRITD_BENCH_FULL=1 ignores it.
     start = time.perf_counter()
-    # 3000 s default: the full 5-method x 8-config table fits — the video
-    # rows exploit the jit cache, the randomized SVT keeps the FCTN video
-    # solves ~10 s, and expensive rows run best-of-1 — but the chicago-shape
-    # first-touch compiles are ~170 s each (measured), so the non-exempt
-    # plan totals ~25 min. The alarm guards bound each row.
-    budget = float(os.environ.get("TRITD_BENCH_BUDGET_S", "3000"))
-    unbounded = "--full" in sys.argv or os.environ.get("TRITD_BENCH_FULL") == "1"
+    budget = float(os.environ.get("TRITD_BENCH_BUDGET_S", "240"))
     import signal
 
     def _alarm(signum, frame):
         raise TimeoutError("per-config time limit")
 
-    def guarded(fn, label, alarm_s, exempt=False):
-        """Run one row under the global budget + a per-row alarm."""
+    def guarded(fn, label, alarm_s, exempt=False) -> bool:
+        """Run one row under the global budget + a per-row alarm. Returns
+        True only when the row actually completed (r3 advisor: jit-cache-hit
+        exemptions must not be granted on the strength of a row that was
+        skipped or killed)."""
         if not unbounded and not exempt and time.perf_counter() - start > budget:
             details.append({**label, "skipped": "time budget"})
-            return
+            print(json.dumps(details[-1]), file=sys.stderr, flush=True)
+            return False
         old = signal.signal(signal.SIGALRM, _alarm)
         signal.alarm(0 if unbounded else alarm_s)
+        ok = False
         try:
             details.append(fn())
+            ok = True
         except Exception as exc:  # keep the primary line valid regardless
             details.append({**label, "error": repr(exc)})
         finally:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
         print(json.dumps(details[-1]), file=sys.stderr, flush=True)
+        return ok
 
     # --- TriTD rows: all eight configs. The four video sequences share one
     # shape (240x320x300) and one config, so after the first video compile
@@ -353,19 +386,20 @@ def main() -> None:
         if only is not None and f"triple:{name}" not in only:
             continue
         is_video = name in ("highway", "sofa", "office", "PETS2006")
-        guarded(
-            lambda n=name: run_config(n, jax, jnp, np),
+        ok = guarded(
+            lambda n=name: run_config(n, jax, jnp, np, rate_detail=unbounded),
             {"dataset": name, "method": "triple"},
             alarm_s=150,
             exempt=is_video and seen_video,
         )
-        seen_video = seen_video or is_video
+        seen_video = seen_video or (is_video and ok)
 
     # --- Baseline-method rows (VERDICT r2 #1): every method on >=2
     # completion datasets + >=1 video sequence, at the reference's own
     # iteration counts — the reference's 5-method table, measured on TPU.
-    # Order: cheapest/most-load-bearing first so budget exhaustion degrades
-    # gracefully.
+    # FULL MODE ONLY: the video/chicago first-touch compiles are ~170 s
+    # each, far past what the no-arg run can afford. Order: cheapest/most-
+    # load-bearing first so an alarm kill degrades gracefully.
     baseline_plan = [
         ("ttnn", "taxi", "gram"),
         ("ring", "taxi", "gram"),
@@ -377,12 +411,15 @@ def main() -> None:
         ("sofia", "sensor", None),
         ("ttnn", "highway", "gram"),
         ("ring", "highway", "gram"),
-        ("fctn", "highway", "gram"),
+        # "auto" resolves to the validated randomized route at the video
+        # bipartition shapes; run_baseline records the RESOLVED method
+        # (r3 advisor, medium).
+        ("fctn", "highway", "auto"),
         ("sofia", "highway", None),
         # the exact-numerics SVD path, one config, for the method-choice
         # table in docs/BENCH_NOTES.md
         ("ttnn", "taxi", "svd"),
-        # remaining completion datasets (full table under --full)
+        # remaining completion datasets
         ("ttnn", "network", "gram"),
         ("ring", "network", "gram"),
         ("fctn", "network", "gram"),
@@ -393,27 +430,31 @@ def main() -> None:
         ("sofia", "chicago", None),
     ]
     # The three remaining video sequences share highway's shape/presets, so
-    # these rows are jit-cache hits after the highway rows above — they run
-    # in every mode (each is alarm-guarded and budget-exempt below).
+    # these rows are jit-cache hits after the highway rows above.
     for m in ("ttnn", "ring", "fctn", "sofia"):
         for v in ("sofa", "office", "PETS2006"):
-            baseline_plan.append((m, v, None if m == "sofia" else "gram"))
+            baseline_plan.append(
+                (m, v, None if m == "sofia" else ("auto" if m == "fctn" else "gram"))
+            )
     # --only method:dataset[:svt],... filters rows (TriTD rows need
     # triple:<ds>) — for focused reruns of rows a prior run lost (e.g.
-    # after a TPU worker crash).
+    # after a TPU worker crash). --only rows run even in default mode.
     if only is not None:
         baseline_plan = [
             (m, n, s) for (m, n, s) in baseline_plan
             if f"{m}:{n}" in only or f"{m}:{n}:{s}" in only
         ]
+    elif not unbounded:
+        baseline_plan = []
     video_names = ("highway", "sofa", "office", "PETS2006")
     seen_video_baseline = set()
     for method, name, svt_method in baseline_plan:
         # sofa/office/PETS2006 share highway's shape and presets, so after
-        # the highway row each method's program is a jit-cache hit — run
-        # those budget-EXEMPT like the TriTD video rows.
+        # a COMPLETED highway row each method's program is a jit-cache hit —
+        # run those budget-EXEMPT like the TriTD video rows (exemption gated
+        # on the highway row's success, r3 advisor).
         cache_hit = name in video_names and method in seen_video_baseline
-        guarded(
+        ok = guarded(
             lambda m=method, n=name, s=svt_method: run_baseline(
                 m, n, jax, jnp, np, svt_method=s or "gram"
             ),
@@ -424,7 +465,7 @@ def main() -> None:
                          or name == "chicago") else 180,
             exempt=cache_hit,
         )
-        if name in video_names:
+        if name in video_names and ok:
             seen_video_baseline.add(method)
 
     if unbounded or "--batched" in sys.argv:

@@ -102,16 +102,16 @@ def test_rc_fctn_runs_and_reduces_error(rng_key):
 
 
 def test_rc_fctn_video_driver_chunked_matches_single_dispatch(rng_key):
-    """The video driver wrapper (chunked dispatches + the gram->auto SVT
-    upgrade) computes the same trajectory as one unchunked svd-path run —
-    at CPU-test scale every bipartition routes to gram (thin side <
-    LOWRANK_MIN_DIM), so the upgrade must be numerically inert here."""
+    """The video driver wrapper (chunked dispatches + the default "auto"
+    SVT routing) computes the same trajectory as one unchunked svd-path
+    run — at CPU-test scale every bipartition routes to gram (thin side <
+    LOWRANK_MIN_DIM), so the routing must be numerically inert here."""
     from tritd_tpu.baselines.rc_fctn import rc_fctn_driver_video, _split_mode3
 
     x = low_multilinear_tensor(rng_key, (8, 9, 20), rank=2)
     mask = jnp.ones(x.shape, bool)
     xh, s, hist = rc_fctn_driver_video(
-        x, mask, subdim=4, origin=x, max_iter=30, svt_method="gram"
+        x, mask, subdim=4, origin=x, max_iter=30, svt_method="auto"
     )
     x4 = _split_mode3(x, 4, 5)
     xh_ref, s_ref, hist_ref = rc_fctn(

@@ -333,6 +333,46 @@ def test_svt_auto_routing():
         )
 
 
+def test_svt_plain_rejects_lowrank():
+    """r3 advisor (low): the randomized route is only valid for the
+    tail-truncating ref-compat shrinkage; plain svt() must reject it —
+    including when 'auto' resolves to lowrank at a big square-ish shape —
+    instead of silently dropping surviving tail components."""
+    import pytest
+
+    from tritd_tpu.ops.svt import LOWRANK_MIN_DIM
+
+    m = jnp.eye(8) * 5.0
+    with pytest.raises(ValueError, match="truncating"):
+        svt(m, 1.0, method="lowrank:4")
+    # svt_ref_compat (truncating) accepts the same route
+    np.asarray(svt_ref_compat(m, 1.0, method="lowrank:8"))
+
+    big = jax.ShapeDtypeStruct((LOWRANK_MIN_DIM, LOWRANK_MIN_DIM), jnp.float32)
+    with pytest.raises(ValueError, match="truncating"):
+        jax.eval_shape(lambda t: svt(t, 1.0, method="auto"), big)
+    # 'auto' resolving to gram stays usable for plain svt
+    np.asarray(svt(m, 1.0, method="auto"))
+
+
+def test_video_svt_method_resolution():
+    """r3 advisor (medium): the fctn video driver defaults to 'auto' (which
+    resolves to the validated budget) and never rewrites an explicit route."""
+    import inspect
+
+    from tritd_tpu.baselines.rc_fctn import (
+        VIDEO_SVT_BUDGET,
+        rc_fctn_driver_video,
+        resolve_video_svt_method,
+    )
+
+    sig = inspect.signature(rc_fctn_driver_video)
+    assert sig.parameters["svt_method"].default == "auto"
+    assert resolve_video_svt_method("auto") == f"auto:{VIDEO_SVT_BUDGET}"
+    for explicit in ("gram", "svd", "auto:256", "lowrank:64"):
+        assert resolve_video_svt_method(explicit) == explicit
+
+
 def test_svt_default_is_svd():
     """r2 advisor (medium): plain svt defaults to the backward-stable SVD
     path; gram is an explicit opt-in for the TPU hot path."""

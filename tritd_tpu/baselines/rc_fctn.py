@@ -31,6 +31,23 @@ from ..ops.shrinkage import prox_l1
 from ..ops.svt import svt_ref_compat
 
 
+#: Validated randomized-SVT rank budget for the video bipartition shapes
+#: (4800x4800, 3600x6400 at subdim 20): err_hist within 3.9e-5 of the exact
+#: path over 50 iterations (tools/validate_lowrank_svt.py,
+#: docs/BENCH_NOTES.md), and its budget^2 eigh is 3x cheaper than the 1024
+#: default's.
+VIDEO_SVT_BUDGET = 512
+
+
+def resolve_video_svt_method(svt_method: str) -> str:
+    """Resolve the video driver's SVT route: a bare "auto" gets the
+    shape-validated budget (see VIDEO_SVT_BUDGET); every explicit request —
+    "svd", "gram", "auto:<b>", "lowrank:<b>" — passes through untouched
+    (r3 advisor: an explicit 'gram' must actually run the Gram path, and
+    recorded metadata must name the route that ran)."""
+    return f"auto:{VIDEO_SVT_BUDGET}" if svt_method == "auto" else svt_method
+
+
 def balanced_bipartitions(n: int):
     """`myorder(N)`: orders [combo, complement] over the unique balanced
     bipartitions (combos containing mode 0, lexicographic)."""
@@ -204,27 +221,24 @@ def rc_fctn_driver_video(
     subdim: int,
     origin: jnp.ndarray | None = None,
     max_iter: int = 100,
-    svt_method: str = "svd",
+    svt_method: str = "auto",
 ):
     """Video-driver wrapper (`video_triple_comparison.m:240-262`):
-    4-way reshape [I, J, sub, K/sub] (column-major semantics)."""
+    4-way reshape [I, J, sub, K/sub] (column-major semantics).
+
+    Default svt_method="auto": the video bipartitions are square-ish
+    (4800x4800, 3600x6400 at subdim 20), where even the Gram trick leaves a
+    ~1 s eigh per bipartition per iteration on a v5e — ~200 s per solve vs
+    the reference's published 50.64 s. "auto" routes those (and only those —
+    thin-side >= ops/svt.py LOWRANK_MIN_DIM) to the randomized top-k SVT at
+    the validated VIDEO_SVT_BUDGET. Every explicit request, including
+    "gram", runs exactly the route it names (resolve_video_svt_method)."""
     i, j, k = y.shape
     n3, n4 = subdim, k // subdim
     y4 = _split_mode3(y, n3, n4)
     origin4 = _split_mode3(origin, n3, n4) if origin is not None else None
     ind = _split_mode3(mask_obs.astype(y.dtype), n3, n4)
-    # "gram" is upgraded to "auto:512" here: the video bipartitions are
-    # square-ish (4800x4800, 3600x6400 at subdim 20), where the Gram trick
-    # still leaves a ~1 s eigh per bipartition per iteration on a v5e —
-    # ~200 s per solve vs the reference's published 50.64 s. "auto" routes
-    # those (and only those — thin-side >= ops/svt.py LOWRANK_MIN_DIM) to
-    # the randomized top-k SVT; budget 512 is validated at this shape
-    # (tools/validate_lowrank_svt.py: err_hist within 3.9e-5 of the exact
-    # path over 50 iterations; docs/BENCH_NOTES.md) and its budget^2 eigh
-    # is 3x cheaper than the 1024 default's. Explicit "svd"/"lowrank:<b>"
-    # requests pass through untouched.
-    if svt_method == "gram":
-        svt_method = "auto:512"
+    svt_method = resolve_video_svt_method(svt_method)
     # chunk=25: bounds a single device dispatch well under the TPU worker
     # watchdog (one 100-iteration dispatch crashed the worker, round 3);
     # see _rc_fctn_steps docstring.

@@ -126,9 +126,15 @@ def _lowrank_apply(m: jnp.ndarray, shrink, budget: int) -> jnp.ndarray:
     return (qmat @ (u_hat * scale[None, :])) @ proj
 
 
-def _apply_spectral(m: jnp.ndarray, shrink, method: str) -> jnp.ndarray:
+def _apply_spectral(
+    m: jnp.ndarray, shrink, method: str, truncating: bool = False
+) -> jnp.ndarray:
     """Reconstruct with shrunk singular values: shrink(σ) maps the singular
-    values to their replacements (zeros drop the component)."""
+    values to their replacements (zeros drop the component). `truncating`
+    declares that `shrink` zeroes the tail of the spectrum (the ref-compat
+    `>1` gate) — the validity condition of the lowrank route (see
+    :func:`_lowrank_apply`); plain soft-thresholding keeps every σ > τ, so
+    the route would silently drop surviving tail components (r3 advisor)."""
     if method == "auto" or method.startswith("auto:"):
         _, _, budget = method.partition(":")
         method = auto_method(
@@ -138,6 +144,14 @@ def _apply_spectral(m: jnp.ndarray, shrink, method: str) -> jnp.ndarray:
         u, s, vt = jnp.linalg.svd(m, full_matrices=False)
         return (u * shrink(s)[None, :]) @ vt
     if method.startswith("lowrank"):
+        if not truncating:
+            raise ValueError(
+                "the 'lowrank'/'auto' randomized SVT route is only valid for"
+                " tail-truncating shrinkage (svt_ref_compat's >1 gate); plain"
+                " svt() would silently drop components the operator keeps at"
+                f" shape {m.shape}. Use method='gram' or 'svd', or call"
+                " svt_ref_compat."
+            )
         _, _, budget = method.partition(":")
         return _lowrank_apply(m, shrink, int(budget) if budget else LOWRANK_BUDGET)
     if method != "gram":
@@ -163,7 +177,13 @@ def _apply_spectral(m: jnp.ndarray, shrink, method: str) -> jnp.ndarray:
 
 
 def svt(m: jnp.ndarray, tau: jnp.ndarray | float, method: str = "svd") -> jnp.ndarray:
-    """Standard singular-value soft-thresholding: U max(S - tau, 0) V^T."""
+    """Standard singular-value soft-thresholding: U max(S - tau, 0) V^T.
+
+    Rejects the 'lowrank' route (and 'auto' when it resolves to lowrank):
+    without a tail-truncating gate the randomized path is invalid — it would
+    silently drop every surviving component beyond its budget. 'auto' stays
+    usable for the thin unfoldings that resolve to 'gram' (all the RTRC
+    benchmark shapes do)."""
     return _apply_spectral(m, lambda s: jnp.maximum(s - tau, 0.0), method)
 
 
@@ -181,4 +201,4 @@ def svt_ref_compat(
         s_shrunk = soft_threshold(s, tau)
         return jnp.where(s_shrunk > 1.0, s_shrunk, 0.0)
 
-    return _apply_spectral(m, shrink, method)
+    return _apply_spectral(m, shrink, method, truncating=True)
