@@ -36,30 +36,14 @@ import sys
 import time
 
 
-# Reference wall-clock seconds (BASELINE.md; video rows = README.md:73-76).
-BASELINE_SECONDS = {
-    "sensor": 2.53,
-    "taxi": 53.90,
-    "network": 1.72,
-    "chicago": 20.69,
-    "highway": 33.68,
-    "sofa": 37.05,
-    "office": 43.98,
-    "PETS2006": 35.93,
-}
-BASELINE_RRE = {"sensor": 0.279, "taxi": 0.338, "network": 0.143, "chicago": 0.321}
+# Published reference numbers — single source of truth in
+# tritd_tpu/utils/published.py (BASELINE.md; `README.md:57-63,71-77`).
+from tritd_tpu.utils.published import PUBLISHED_RRE, PUBLISHED_SECONDS
 
-# Published per-method wall-clock (s) — completion `README.md:59-62`, video
-# `README.md:73-76` / `foreground_grid.m:9-14`.
+BASELINE_SECONDS = PUBLISHED_SECONDS["triple"]
+BASELINE_RRE = PUBLISHED_RRE["triple"]
 BASELINE_METHOD_SECONDS = {
-    "sofia": {"sensor": 15.95, "taxi": 598.24, "network": 12.01, "chicago": 194.36,
-              "highway": 370.57, "sofa": 419.57, "office": 424.15, "PETS2006": 395.39},
-    "ring": {"sensor": 25.58, "taxi": 1799.52, "network": 41.06, "chicago": 1318.22,
-             "highway": 1031.97, "sofa": 1147.48, "office": 1148.17, "PETS2006": 1215.11},
-    "fctn": {"sensor": 2.46, "taxi": 128.44, "network": 5.08, "chicago": 29.30,
-             "highway": 50.64, "sofa": 56.92, "office": 56.64, "PETS2006": 92.62},
-    "ttnn": {"sensor": 4.45, "taxi": 340.42, "network": 7.39, "chicago": 264.73,
-             "highway": 201.47, "sofa": 225.50, "office": 226.36, "PETS2006": 229.23},
+    m: PUBLISHED_SECONDS[m] for m in ("sofia", "ring", "fctn", "ttnn")
 }
 
 

@@ -121,6 +121,15 @@ def main(argv=None) -> list[dict]:
         "JAX_PLATFORMS env var, so a config-level override is needed to "
         "run on CPU in TPU-attached environments)",
     )
+    p.add_argument(
+        "--verify-parity", action="store_true",
+        help="after the run, assert every row's RRE is within --parity-gap"
+        " of the reference's published number (README.md:57-63) and exit"
+        " nonzero otherwise; requires the real .mat datasets (synthetic"
+        " stand-ins fail loudly — see docs/DATA.md)",
+    )
+    p.add_argument("--parity-gap", type=float, default=None,
+                   help="absolute RRE tolerance for --verify-parity")
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -154,6 +163,17 @@ def main(argv=None) -> list[dict]:
             rows.append(row)
             artifacts.save_artifact(args.out_dir, name, method, "errHist", err_hist)
             print(json.dumps(row))
+
+    if args.verify_parity:
+        from ..utils.published import DEFAULT_RRE_GAP, check_parity
+
+        gap = DEFAULT_RRE_GAP if args.parity_gap is None else args.parity_gap
+        failures = check_parity(rows, gap=gap)
+        if failures:
+            for msg in failures:
+                print(f"PARITY FAIL {msg}")
+            raise SystemExit(1)
+        print(f"PARITY OK: {len(rows)} rows within gap {gap} of README.md:57-63")
     return rows
 
 

@@ -56,6 +56,14 @@ def main(argv=None) -> list[dict]:
         "JAX_PLATFORMS env var, so a config-level override is needed to "
         "run on CPU in TPU-attached environments)",
     )
+    p.add_argument(
+        "--verify-parity", action="store_true",
+        help="after the run, assert every row beats the reference's"
+        " published wall-clock (README.md:71-77 — the only per-cell video"
+        " number the reference publishes) and exit nonzero otherwise;"
+        " requires the real .mat sequences (synthetic stand-ins fail"
+        " loudly — see docs/DATA.md)",
+    )
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -136,6 +144,16 @@ def main(argv=None) -> list[dict]:
         artifacts.save_artifact(args.out_dir, name, args.method, "O", o)
         rows.append(row)
         print(json.dumps(row))
+
+    if args.verify_parity:
+        from ..utils.published import check_parity
+
+        failures = check_parity(rows)
+        if failures:
+            for msg in failures:
+                print(f"PARITY FAIL {msg}")
+            raise SystemExit(1)
+        print(f"PARITY OK: {len(rows)} rows beat README.md:71-77 wall-clock")
     return rows
 
 

@@ -25,7 +25,7 @@ from typing import Callable
 import jax
 import numpy as np
 
-from .synthetic import random_tritd, synthetic_video
+from .synthetic import random_tritd, seasonal_cp, synthetic_video
 
 
 @dataclasses.dataclass(frozen=True)
@@ -132,10 +132,20 @@ def _synthetic_fallback(spec: DatasetSpec) -> np.ndarray:
         observed, _bg, _fg = synthetic_video(key, spec.shape)
         x = np.asarray(observed)
     else:
-        # traffic-like: exactly low-TriTD-rank + 10% relative noise, scaled
-        # to an O(100) dynamic range.
-        x, _ = random_tritd(key, spec.shape, rank=5, dtype=np.float32)
-        x = np.asarray(x)
+        # traffic-like MIXED family (VERDICT r3 #7): unit-RMS low-TriTD-rank
+        # + 0.8x unit-RMS seasonal low-CP (period = the dataset's SOFIA
+        # preset) + 10% relative noise, scaled to an O(100) dynamic range.
+        # A pure-TriTD stand-in made SOFIA's rows degenerate (RRE ~0.99 —
+        # its CP+seasonal model had literally nothing to fit); the mixture
+        # gives every benchmarked method structure in its own family while
+        # the shapes/iteration counts — hence compute profiles — are
+        # unchanged.
+        k_tritd, k_cp = jax.random.split(key)
+        x_tritd, _ = random_tritd(k_tritd, spec.shape, rank=5, dtype=np.float32)
+        x_cp = seasonal_cp(
+            k_cp, spec.shape, rank=3, period=spec.sofia_period
+        )
+        x = np.asarray(x_tritd) + 0.8 * np.asarray(x_cp)
         rng = np.random.default_rng(_dataset_seed(spec.name))
         noise = rng.standard_normal(x.shape)
         x = x + 0.1 * np.linalg.norm(x) / np.linalg.norm(noise) * noise

@@ -37,6 +37,33 @@ def random_tritd(
     return x, (a, b, c)
 
 
+def seasonal_cp(
+    key: jax.Array,
+    shape: tuple[int, int, int],
+    rank: int = 3,
+    period: int = 168,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Low-CP tensor whose temporal factors are seasonal — SOFIA's own
+    generative family (`make_synthetic.m:11-27` builds CP factors with
+    periodic temporal structure; SOFIA models CP + Holt-Winters
+    seasonality). Spatial factors are standard normal; temporal factor r is
+    a sinusoid at harmonic r of `period` (random phase) plus a slow linear
+    trend, so a seasonal-CP method has structure it can actually fit.
+    Normalized to unit RMS."""
+    n1, n2, n3 = shape
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    a = jax.random.normal(k1, (n1, rank), dtype)
+    b = jax.random.normal(k2, (n2, rank), dtype)
+    t = jnp.arange(n3, dtype=dtype)
+    phase = jax.random.uniform(k3, (rank,), dtype, 0.0, 2.0 * jnp.pi)
+    harm = jnp.arange(1, rank + 1, dtype=dtype)
+    c = jnp.sin(2.0 * jnp.pi * harm[None, :] * t[:, None] / period + phase)
+    trend = jax.random.normal(k4, (rank,), dtype) * (t[:, None] / n3)
+    x = jnp.einsum("ir,jr,tr->ijt", a, b, c + 0.3 * trend)
+    return x / (jnp.sqrt(jnp.mean(x**2)) + 1e-12)
+
+
 def sparse_outliers(
     key: jax.Array,
     shape: tuple[int, ...],
