@@ -373,6 +373,50 @@ def test_video_svt_method_resolution():
         assert resolve_video_svt_method(explicit) == explicit
 
 
+def test_svt_warm_refresh_matches_gram(rng_key):
+    """svt_ref_compat_warm with refresh_now=True == the exact gram path;
+    with a STALE basis from a nearby matrix it stays close (the drift
+    regime the warm route exploits); both orientations round-trip."""
+    from tritd_tpu.ops.svt import svt_ref_compat_warm
+
+    for shape in ((24, 15), (15, 24)):
+        m = jax.random.normal(rng_key, shape) * 3.0
+        thin = min(shape)
+        eye = jnp.eye(thin)
+        fresh, basis = svt_ref_compat_warm(m, 0.5, eye, True)
+        exact = svt_ref_compat(m, 0.5, method="gram")
+        np.testing.assert_allclose(
+            np.asarray(fresh), np.asarray(exact), rtol=1e-4, atol=1e-4
+        )
+        assert basis.shape == (thin, thin)
+        # tiny perturbation, stale basis: output near the perturbed exact
+        m2 = m + 1e-4 * jax.random.normal(jax.random.fold_in(rng_key, 1), shape)
+        stale, basis2 = svt_ref_compat_warm(m2, 0.5, basis, False)
+        exact2 = svt_ref_compat(m2, 0.5, method="gram")
+        np.testing.assert_allclose(
+            np.asarray(stale), np.asarray(exact2), rtol=1e-2, atol=1e-2
+        )
+        # stale path must not touch the basis
+        np.testing.assert_array_equal(np.asarray(basis2), np.asarray(basis))
+
+
+def test_rc_fctn_warm_route_small_shape_equals_gram(rng_key):
+    """"warm:<K>" on CPU-test shapes (every thin side < WARM_MIN_DIM)
+    must be numerically identical to the exact gram path — the warm carry
+    machinery is inert until a bipartition qualifies."""
+    from tritd_tpu.baselines.rc_fctn import rc_fctn
+
+    x = jax.random.normal(rng_key, (6, 5, 4, 3)) * 2.0
+    ind = jnp.ones_like(x)
+    out_w = rc_fctn(x, lam=1.0, ind_obs=ind, origin=x, f=0.1, max_iter=12,
+                    svt_method="warm:3")
+    out_g = rc_fctn(x, lam=1.0, ind_obs=ind, origin=x, f=0.1, max_iter=12,
+                    svt_method="gram")
+    np.testing.assert_allclose(
+        np.asarray(out_w[2]), np.asarray(out_g[2]), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_svt_default_is_svd():
     """r2 advisor (medium): plain svt defaults to the backward-stable SVD
     path; gram is an explicit opt-in for the TPU hot path."""

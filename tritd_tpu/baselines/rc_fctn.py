@@ -28,7 +28,27 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.shrinkage import prox_l1
-from ..ops.svt import svt_ref_compat
+from ..ops.svt import svt_ref_compat, svt_ref_compat_warm
+
+#: Thin-side size at/above which the "warm:<K>" route carries a basis for a
+#: bipartition (below it the per-iteration Gram eigh is already cheap).
+WARM_MIN_DIM = 1024
+
+
+def _warm_spec(svt_method: str, nway, orders, dims_l):
+    """Parse "warm:<K>" → (refresh period K, tuple of bipartition indices
+    that carry a warm basis, their thin-side sizes). Non-qualifying
+    bipartitions run the exact gram path."""
+    _, _, k = svt_method.partition(":")
+    period = int(k) if k else 4
+    total = math.prod(nway)
+    idx, thin = [], []
+    for i in range(len(orders)):
+        t = min(dims_l[i], total // dims_l[i])
+        if t >= WARM_MIN_DIM:
+            idx.append(i)
+            thin.append(t)
+    return period, tuple(idx), tuple(thin)
 
 
 #: Validated randomized-SVT rank budget for the video bipartition shapes
@@ -104,16 +124,29 @@ def _rc_fctn_steps(
     dtype = x_noise.dtype
     ind_mis = 1.0 - ind_obs
     norm_origin = jnp.linalg.norm(origin.ravel()) if has_origin else 1.0
+    warm = svt_method.startswith("warm")
+    if warm:
+        warm_period, warm_idx, _ = _warm_spec(svt_method, nway, orders, dims_l)
 
     def body(k, carry):
-        x, y, e, s, p, q, zs, err_hist = carry
+        x, y, e, s, p, q, zs, bases, err_hist = carry
         gamma = gamma0 * 1.5**k
         deta = deta0 * 1.5**k
         # L_n: SVT over each balanced bipartition (`RC_FCTN.m:68-75`)
         ls = []
+        bases_new = list(bases)
         for i, order in enumerate(orders):
             mat = jnp.transpose(x - zs[i] / mu[i], order).reshape(dims_l[i], -1)
-            mat = svt_ref_compat(mat, alpha[i] / mu[i], method=svt_method)
+            if warm and i in warm_idx:
+                j = warm_idx.index(i)
+                mat, bases_new[j] = svt_ref_compat_warm(
+                    mat, alpha[i] / mu[i], bases[j], k % warm_period == 0
+                )
+            else:
+                mat = svt_ref_compat(
+                    mat, alpha[i] / mu[i],
+                    method="gram" if warm else svt_method,
+                )
             shp = tuple(nway[o] for o in order)
             ls.append(jnp.transpose(mat.reshape(shp), inv_orders[i]))
         # S (`:78`)
@@ -135,7 +168,7 @@ def _rc_fctn_steps(
             err_hist = err_hist.at[k].set(
                 jnp.linalg.norm((x + s - origin).ravel()) / norm_origin
             )
-        return (x, y, e, s, p, q, zs, err_hist)
+        return (x, y, e, s, p, q, zs, tuple(bases_new), err_hist)
 
     return jax.lax.fori_loop(k0, k0 + n_steps, body, carry)
 
@@ -154,15 +187,37 @@ def rc_fctn(
 ):
     """Returns (X low-rank, S sparse, errHist RSE_real). ind_obs is the
     observed indicator (1 = keep data constraint). `chunk` caps iterations
-    per device dispatch (None = all in one dispatch); see _rc_fctn_steps."""
+    per device dispatch (None = all in one dispatch); see _rc_fctn_steps.
+
+    svt_method additionally accepts ``"warm:<K>"``: exact Gram-eigh SVT
+    refreshed every K-th iteration, warm-started basis reuse in between,
+    on bipartitions with thin side >= WARM_MIN_DIM (others run exact gram
+    every iteration) — the traffic-protocol analog of the video route's
+    randomized SVT, for shapes where the retained spectrum is NOT low-rank
+    (chicago's 5929x2016 keeps >=76%). Validated against the exact path by
+    tools/validate_warm_svt.py."""
     has_origin = origin is not None
     dummy = origin if has_origin else x_noise
     ind = ind_obs.astype(x_noise.dtype)
     chunk = max_iter if chunk is None else min(chunk, max_iter)
     zeros = jnp.zeros(x_noise.shape, x_noise.dtype)
+    orders = balanced_bipartitions(x_noise.ndim)
+    bases = ()
+    if svt_method.startswith("warm"):
+        half = x_noise.ndim // 2
+        dims_l = [
+            math.prod(x_noise.shape[o] for o in order[:half]) for order in orders
+        ]
+        _, warm_idx, warm_thin = _warm_spec(
+            svt_method, x_noise.shape, orders, dims_l
+        )
+        # Identity placeholders; the first iteration (k=0, k % K == 0)
+        # refreshes before any reuse.
+        bases = tuple(jnp.eye(t, dtype=x_noise.dtype) for t in warm_thin)
     carry = (
         zeros, x_noise, zeros, zeros, zeros, zeros,
-        tuple(zeros for _ in balanced_bipartitions(x_noise.ndim)),
+        tuple(zeros for _ in orders),
+        bases,
         jnp.full((max_iter,), jnp.nan, x_noise.dtype),
     )
     k0 = 0
@@ -174,7 +229,7 @@ def rc_fctn(
             n_steps, has_origin, svt_method,
         )
         k0 += n_steps
-    x, _, _, s, _, _, _, err_hist = carry
+    x, _, _, s, _, _, _, _, err_hist = carry
     return x, s, err_hist
 
 

@@ -187,6 +187,54 @@ def svt(m: jnp.ndarray, tau: jnp.ndarray | float, method: str = "svd") -> jnp.nd
     return _apply_spectral(m, lambda s: jnp.maximum(s - tau, 0.0), method)
 
 
+def svt_ref_compat_warm(
+    m: jnp.ndarray,
+    tau: jnp.ndarray | float,
+    basis: jnp.ndarray,
+    refresh_now: jnp.ndarray | bool,
+):
+    """Ref-compat SVT with a WARM-STARTED spectral basis (VERDICT r3 #4).
+
+    The chicago RC-FCTN bipartition (5929x2016) retains >=76% of its
+    spectrum under the `>1` gate, so the randomized top-k route is invalid
+    there and every iteration pays a ~160 ms thin-side eigh. But the ADMM
+    iterate drifts slowly (fixed SVT threshold, 1.5x-annealed data penalty),
+    so the singular BASIS barely moves between iterations. This routes:
+
+    * on `refresh_now` (traced bool — callers refresh every K-th
+      iteration): exact Gram-eigh of the thin side, as method="gram";
+    * otherwise: REUSE `basis` (the thin-side singular basis from the last
+      refresh) — one projection GEMM `m @ V`, refined σ from the
+      projection's column norms (exact if V were current; Rayleigh-quotient
+      estimates under drift), shrink, reconstruct. Per-iteration cost drops
+      from an eigh to two MXU GEMMs.
+
+    Returns ``(svt_output, basis)`` — thread `basis` through the solver
+    carry. Validity is EMPIRICAL (basis drift vs the discontinuous `>1`
+    gate): tools/validate_warm_svt.py pins err_hist against the exact path
+    at benchmark shape, the same standard the randomized route met.
+    `basis` is the thin-side orthonormal basis (q x q when p >= q, else
+    p x p); initialize with identity — callers must refresh on the first
+    iteration (k % K == 0 at k=0 does).
+    """
+    p, q = m.shape
+    if p < q:
+        out, basis = svt_ref_compat_warm(m.T, tau, basis, refresh_now)
+        return out.T, basis
+
+    def _fresh():
+        _, v = jnp.linalg.eigh(m.T @ m)
+        return v
+
+    v = jax.lax.cond(refresh_now, _fresh, lambda: basis)
+    proj = m @ v  # columns are σ_i·u_i when v is current
+    s = jnp.sqrt(jnp.sum(proj * proj, axis=0))
+    s_shrunk = soft_threshold(s, tau)
+    s_shrunk = jnp.where(s_shrunk > 1.0, s_shrunk, 0.0)
+    scale = s_shrunk / jnp.maximum(s, jnp.finfo(m.dtype).tiny)
+    return proj @ (v.T * scale[:, None]), v
+
+
 def svt_ref_compat(
     m: jnp.ndarray, tau: jnp.ndarray | float, method: str = "svd"
 ) -> jnp.ndarray:
