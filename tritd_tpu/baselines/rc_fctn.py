@@ -128,7 +128,12 @@ def _rc_fctn_steps(
     if warm:
         warm_period, warm_idx, _ = _warm_spec(svt_method, nway, orders, dims_l)
 
-    def body(k, carry):
+    def body(k, carry, refresh=True):
+        """One iteration. `refresh` is a PYTHON bool in warm mode — the
+        refresh schedule is compile-time static (block-unrolled below), not
+        a lax.cond: measured on TPU (r4), a traced `k % K == 0` cond around
+        the big eigh executed BOTH branches for some K (warm:4 ran slower
+        than exact gram), so the branch must be resolved at trace time."""
         x, y, e, s, p, q, zs, bases, err_hist = carry
         gamma = gamma0 * 1.5**k
         deta = deta0 * 1.5**k
@@ -140,7 +145,7 @@ def _rc_fctn_steps(
             if warm and i in warm_idx:
                 j = warm_idx.index(i)
                 mat, bases_new[j] = svt_ref_compat_warm(
-                    mat, alpha[i] / mu[i], bases[j], k % warm_period == 0
+                    mat, alpha[i] / mu[i], bases[j], refresh
                 )
             else:
                 mat = svt_ref_compat(
@@ -170,7 +175,27 @@ def _rc_fctn_steps(
             )
         return (x, y, e, s, p, q, zs, tuple(bases_new), err_hist)
 
-    return jax.lax.fori_loop(k0, k0 + n_steps, body, carry)
+    if not warm:
+        return jax.lax.fori_loop(k0, k0 + n_steps, body, carry)
+
+    # Warm mode: block-unrolled refresh schedule. Each K-iteration block
+    # refreshes (exact eigh) on its first iteration — statically — and
+    # reuses the basis for the K-1 others; full blocks ride one lax.scan
+    # (program size ~K bodies, ONE eigh instance), the <K remainder is
+    # Python-unrolled. Chunk boundaries start a new block, so refreshes
+    # happen at least every K iterations (never less often).
+    n_blocks, rem = divmod(n_steps, warm_period)
+    if n_blocks:
+        def block(carry, k_start):
+            for j in range(warm_period):
+                carry = body(k_start + j, carry, refresh=(j == 0))
+            return carry, None
+
+        starts = k0 + warm_period * jnp.arange(n_blocks)
+        carry, _ = jax.lax.scan(block, carry, starts)
+    for j in range(rem):
+        carry = body(k0 + n_blocks * warm_period + j, carry, refresh=(j == 0))
+    return carry
 
 
 def rc_fctn(

@@ -226,7 +226,14 @@ def svt_ref_compat_warm(
         _, v = jnp.linalg.eigh(m.T @ m)
         return v
 
-    v = jax.lax.cond(refresh_now, _fresh, lambda: basis)
+    if isinstance(refresh_now, bool):
+        # Static schedule (the production path): resolve the branch at
+        # trace time — a traced lax.cond around the big eigh was measured
+        # (r4, chicago) to execute BOTH branches for some schedules on TPU,
+        # erasing the entire saving.
+        v = _fresh() if refresh_now else basis
+    else:
+        v = jax.lax.cond(refresh_now, _fresh, lambda: basis)
     proj = m @ v  # columns are σ_i·u_i when v is current
     s = jnp.sqrt(jnp.sum(proj * proj, axis=0))
     s_shrunk = soft_threshold(s, tau)
