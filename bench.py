@@ -438,7 +438,11 @@ def main() -> None:
         ("sofia", "network", None),
         ("ttnn", "chicago", "gram"),
         ("ring", "chicago", "gram"),
-        ("fctn", "chicago", "gram"),
+        # warm:8 — the chicago 5929x2016 bipartition keeps >=76% of its
+        # spectrum (randomized route invalid); the warm-started basis route
+        # is validated against exact gram at this exact protocol
+        # (docs/WARM_SVT_r04.json: 6.0s vs 20.1s, final-X diff 3.5e-8).
+        ("fctn", "chicago", "warm:8"),
         ("sofia", "chicago", None),
     ]
     # The three remaining video sequences share highway's shape/presets, so

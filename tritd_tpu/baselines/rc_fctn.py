@@ -288,9 +288,13 @@ def rc_fctn_driver_traffic(
     origin4 = _split_mode3(origin, n3, n4) if origin is not None else None
     lam = 5000.0 / math.sqrt(max(i, j) * n3 * n4)
     ind = jnp.ones(y4.shape, y.dtype)  # driver quirk: everything marked observed
+    # warm route: chunk=25 matches the validated configuration
+    # (tools/validate_warm_svt.py / docs/WARM_SVT_r04.json) and keeps the
+    # block-unrolled program a compile-helper-friendly size.
     x4, s4, err_hist = rc_fctn(
         y4, lam, ind, origin=origin4, f=0.1, max_iter=max_iter,
         svt_method=svt_method,
+        chunk=25 if svt_method.startswith("warm") else None,
     )
     return _merge_mode3(x4), _merge_mode3(s4), err_hist
 
