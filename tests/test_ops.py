@@ -400,6 +400,50 @@ def test_svt_warm_refresh_matches_gram(rng_key):
         np.testing.assert_array_equal(np.asarray(basis2), np.asarray(basis))
 
 
+def test_ttnn_ring_warm_routes(rng_key):
+    """warm:<K> on TTNN and RING: inert (== gram) when no cut qualifies,
+    and close to the exact path when cuts DO carry a warm basis (thin side
+    >= WARM_MIN_DIM) — final X must agree tightly, the trajectory loosely
+    (stale-basis drift), matching the chicago-scale validation standard."""
+    from tritd_tpu.baselines.rtrc import rtrc
+    from tritd_tpu.baselines.ttnn import tt_trpca
+
+    def low_cp(key, shape, r):
+        ks = jax.random.split(key, 3)
+        us = [jax.random.normal(k, (s, r)) for k, s in zip(ks, shape)]
+        return jnp.einsum("ir,jr,kr->ijk", *us) / r
+
+    # tiny shape: every thin side < WARM_MIN_DIM -> warm == gram exactly
+    x0 = low_cp(rng_key, (8, 9, 10), 2) * 5.0
+    z_w, _, h_w, _ = tt_trpca(x0, origin=x0, max_iter=15, svt_method="warm:3")
+    z_g, _, h_g, _ = tt_trpca(x0, origin=x0, max_iter=15, svt_method="gram")
+    np.testing.assert_allclose(np.asarray(h_w), np.asarray(h_g), rtol=1e-5, atol=1e-6)
+
+    mask0 = jnp.ones(x0.shape, bool)
+    x_w, _, hr_w, _ = rtrc(x0, mask0, origin=x0, max_iter=15, svt_method="warm:3")
+    x_g, _, hr_g, _ = rtrc(x0, mask0, origin=x0, max_iter=15, svt_method="gram")
+    np.testing.assert_allclose(np.asarray(hr_w), np.asarray(hr_g), rtol=1e-5, atol=1e-6)
+
+    # qualifying shape: thin sides 150/160 >= WARM_MIN_DIM=128 -> bases
+    # actually carried; warm:2 must track the exact path
+    from tritd_tpu.ops.svt import WARM_MIN_DIM
+
+    assert WARM_MIN_DIM <= 150
+    x1 = low_cp(jax.random.fold_in(rng_key, 5), (150, 4, 160), 3) * 5.0
+    z_w, _, h_w, _ = tt_trpca(x1, origin=x1, max_iter=20, svt_method="warm:2")
+    z_g, _, h_g, _ = tt_trpca(x1, origin=x1, max_iter=20, svt_method="gram")
+    assert np.max(np.abs(np.asarray(h_w) - np.asarray(h_g))) < 5e-2
+    rel_x = float(jnp.linalg.norm((z_w - z_g).ravel()) / jnp.linalg.norm(z_g.ravel()))
+    assert rel_x < 1e-2
+
+    mask1 = jnp.ones(x1.shape, bool)
+    x_w, _, hr_w, _ = rtrc(x1, mask1, origin=x1, max_iter=20, svt_method="warm:2")
+    x_g, _, hr_g, _ = rtrc(x1, mask1, origin=x1, max_iter=20, svt_method="gram")
+    assert np.max(np.abs(np.asarray(hr_w) - np.asarray(hr_g))) < 5e-2
+    rel_x = float(jnp.linalg.norm((x_w - x_g).ravel()) / jnp.linalg.norm(x_g.ravel()))
+    assert rel_x < 1e-2
+
+
 def test_rc_fctn_warm_route_small_shape_equals_gram(rng_key):
     """"warm:<K>" on CPU-test shapes (every thin side < WARM_MIN_DIM)
     must be numerically identical to the exact gram path — the warm carry

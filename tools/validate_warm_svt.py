@@ -1,20 +1,23 @@
-"""On-device validation of the warm-started SVT ("warm:<K>") inside
-RC-FCTN's TRAFFIC protocol at chicago shape (VERDICT r3 #4).
+"""On-device validation of the warm-started SVT ("warm:<K>") against the
+exact Gram-eigh path, per baseline method and benchmark dataset
+(VERDICT r3 #4, generalized in r4 to TTNN and RING).
 
-The chicago 4-way reshape (77,77,252,8) has bipartitions 5929x2016 /
-19404x616 / 616x19404; only the first has an expensive thin-side eigh
-(~160 ms measured), and its retained spectrum under the `>1` gate is >=76%
-— NOT low-rank, so the randomized route is invalid. The warm route reuses
+The expensive case is any unfolding with a big thin side — chicago's
+4-way bipartition 5929x2016 (RC-FCTN), its TT cut 5929x2016 (TTNN) and its
+circular unfolding 5929x2016 (RING) all pay a ~160 ms QDWH eigh per
+iteration on the exact path, and the retained spectrum is NOT low-rank
+(>=76%), so the randomized top-k route is invalid. The warm route reuses
 the previous refresh's singular basis (stale-basis GEMM projection) and
-refreshes the exact Gram-eigh every K-th iteration.
+refreshes the exact Gram-eigh every K-th iteration
+(`ops/svt.py::svt_ref_compat_warm` / `svt_warm`).
 
-Runs the chicago driver protocol with the exact gram path and with
-warm:K for each requested K, reporting err_hist agreement, final-X
-distance, and wall time — the same standard the randomized video route met
-(tools/validate_lowrank_svt.py).
+Protocol: exactly the bench row's — `cli.run_completion.run_method` with
+the driver presets, 10% uniform missing, origin-oracle err_hist; the exact
+"gram" route is the reference, warm:K the candidate.
 
-Usage: python tools/validate_warm_svt.py [--iters 100] [--ks 2,4,8]
-       [--out docs/WARM_SVT_r04.json] [--ref-cache /tmp/warm_ref.npz]
+Usage: python tools/validate_warm_svt.py [--method fctn|ttnn|ring]
+       [--dataset chicago] [--iters 100] [--ks 2,4,8]
+       [--ref-cache /tmp/ref.npz] [--out docs/...json]
 Foreground only — the axon TPU env does not reach background shells.
 
 MEASURED QUIRK (r4): compiling a SECOND warm:<K> program in the same
@@ -28,47 +31,46 @@ import json
 import os
 import time
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tritd_tpu.baselines.rc_fctn import _split_mode3, rc_fctn
-from tritd_tpu.data import load_dataset
+from tritd_tpu.cli.run_completion import run_method
+from tritd_tpu.data import load_dataset, uniform_missing_mask
 
 
 def main() -> None:
     p = argparse.ArgumentParser()
+    p.add_argument("--method", default="fctn", choices=("fctn", "ttnn", "ring"))
+    p.add_argument("--dataset", default="chicago")
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--ks", default="2,4,8")
-    p.add_argument("--chunk", type=int, default=25)
     p.add_argument("--out", default=None)
     p.add_argument("--ref-cache", default=None,
                    help=".npz path caching the exact-gram reference run")
     a = p.parse_args()
 
     t0 = time.perf_counter()
-    x_np, spec, prov = load_dataset("chicago")
+    x_np, spec, prov = load_dataset(a.dataset)
     x = jnp.asarray(x_np, jnp.float32)
-    i, j, k = x.shape
-    sub = spec.fctn_subdim
-    n3, n4 = k // sub, sub
-    y4 = _split_mode3(x, n3, n4)
-    # driver quirk: Ind all ones (`traffic_triple_comparison.m:158`)
-    ind = jnp.ones(y4.shape, x.dtype)
-    lam = 5000.0 / float(np.sqrt(max(i, j) * n3 * n4))
-    np.asarray(y4[0, 0, 0, 0])
-    print(f"setup {time.perf_counter() - t0:.1f}s (provenance={prov})", flush=True)
+    key = jax.random.PRNGKey(0)
+    mask = uniform_missing_mask(key, x.shape, 0.10)
+    y = jnp.where(mask, x, 0.0)
+    np.asarray(y[0, 0, 0])
+    print(f"setup {time.perf_counter() - t0:.1f}s "
+          f"({a.method}@{a.dataset}, provenance={prov})", flush=True)
 
-    def solve(method):
+    def solve(route):
         t0 = time.perf_counter()
-        xh, _, hist = rc_fctn(
-            y4, lam, ind, origin=y4, f=0.1, max_iter=a.iters,
-            svt_method=method, chunk=a.chunk,
+        xh, _o, hist = run_method(
+            a.method, y, x, mask, spec, key, a.iters, svt_method=route
         )
-        hist = np.asarray(hist)  # host fetch = honest fence
+        hist = np.asarray(hist)
+        float(jnp.linalg.norm(xh.ravel()))  # host fetch = honest fence
         dt = time.perf_counter() - t0
-        print(f"  {method}: {dt:.1f}s err[first,last]={hist[0]:.4g},{hist[-1]:.4g}",
+        print(f"  {route}: {dt:.1f}s err[first,last]={hist[0]:.4g},{hist[-1]:.4g}",
               flush=True)
-        return xh, hist, dt
+        return jnp.asarray(xh), hist, dt
 
     if a.ref_cache and os.path.exists(a.ref_cache):
         z = np.load(a.ref_cache)
@@ -77,9 +79,7 @@ def main() -> None:
         print(f"  gram (cached): {tg2:.1f}s err[last]={hg[-1]:.4g}", flush=True)
     else:
         xg, hg, tg = solve("gram")
-        # second run: jit-cached — the warm rows below are also warm-cache,
-        # so time gram warm-cache too for a same-cache-state comparison
-        _, _, tg2 = solve("gram")
+        _, _, tg2 = solve("gram")  # jit-cached, same cache state as warm reps
         if a.ref_cache:
             np.savez(a.ref_cache, xg=np.asarray(xg), hg=hg, tg2=tg2,
                      iters=a.iters)
@@ -115,8 +115,8 @@ def main() -> None:
 
     result = {
         "protocol": {
-            "dataset": "chicago", "shape4": list(y4.shape), "lam": lam,
-            "iters": a.iters, "provenance": prov,
+            "solver": a.method, "dataset": a.dataset, "shape": list(x.shape),
+            "iters": a.iters, "provenance": prov, "missing_ratio": 0.10,
             "gram_seconds_warm_cache": round(tg2, 1),
             "err_last_gram": float(hg[-1]),
         },

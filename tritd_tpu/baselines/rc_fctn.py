@@ -28,27 +28,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.shrinkage import prox_l1
-from ..ops.svt import svt_ref_compat, svt_ref_compat_warm
+from ..ops.svt import (
+    run_warm_blocks,
+    svt_ref_compat,
+    svt_ref_compat_warm,
+    warm_spec,
+)
 
-#: Thin-side size at/above which the "warm:<K>" route carries a basis for a
-#: bipartition (below it the per-iteration Gram eigh is already cheap).
-WARM_MIN_DIM = 1024
 
-
-def _warm_spec(svt_method: str, nway, orders, dims_l):
-    """Parse "warm:<K>" → (refresh period K, tuple of bipartition indices
-    that carry a warm basis, their thin-side sizes). Non-qualifying
-    bipartitions run the exact gram path."""
-    _, _, k = svt_method.partition(":")
-    period = int(k) if k else 4
+def _bipartition_shapes(nway, dims_l):
     total = math.prod(nway)
-    idx, thin = [], []
-    for i in range(len(orders)):
-        t = min(dims_l[i], total // dims_l[i])
-        if t >= WARM_MIN_DIM:
-            idx.append(i)
-            thin.append(t)
-    return period, tuple(idx), tuple(thin)
+    return [(d, total // d) for d in dims_l]
 
 
 #: Validated randomized-SVT rank budget for the video bipartition shapes
@@ -126,7 +116,9 @@ def _rc_fctn_steps(
     norm_origin = jnp.linalg.norm(origin.ravel()) if has_origin else 1.0
     warm = svt_method.startswith("warm")
     if warm:
-        warm_period, warm_idx, _ = _warm_spec(svt_method, nway, orders, dims_l)
+        warm_period, warm_idx, _ = warm_spec(
+            svt_method, _bipartition_shapes(nway, dims_l)
+        )
 
     def body(k, carry, refresh=True):
         """One iteration. `refresh` is a PYTHON bool in warm mode — the
@@ -178,24 +170,11 @@ def _rc_fctn_steps(
     if not warm:
         return jax.lax.fori_loop(k0, k0 + n_steps, body, carry)
 
-    # Warm mode: block-unrolled refresh schedule. Each K-iteration block
-    # refreshes (exact eigh) on its first iteration — statically — and
-    # reuses the basis for the K-1 others; full blocks ride one lax.scan
-    # (program size ~K bodies, ONE eigh instance), the <K remainder is
-    # Python-unrolled. Chunk boundaries start a new block, so refreshes
-    # happen at least every K iterations (never less often).
-    n_blocks, rem = divmod(n_steps, warm_period)
-    if n_blocks:
-        def block(carry, k_start):
-            for j in range(warm_period):
-                carry = body(k_start + j, carry, refresh=(j == 0))
-            return carry, None
-
-        starts = k0 + warm_period * jnp.arange(n_blocks)
-        carry, _ = jax.lax.scan(block, carry, starts)
-    for j in range(rem):
-        carry = body(k0 + n_blocks * warm_period + j, carry, refresh=(j == 0))
-    return carry
+    # Warm mode: statically-scheduled refresh blocks (ops/svt.py::
+    # run_warm_blocks — constant program size, eigh only in the refresh
+    # body). Chunk boundaries start a new block, so refreshes happen at
+    # least every K iterations (never less often).
+    return run_warm_blocks(body, carry, k0, n_steps, warm_period)
 
 
 def rc_fctn(
@@ -216,11 +195,11 @@ def rc_fctn(
 
     svt_method additionally accepts ``"warm:<K>"``: exact Gram-eigh SVT
     refreshed every K-th iteration, warm-started basis reuse in between,
-    on bipartitions with thin side >= WARM_MIN_DIM (others run exact gram
-    every iteration) — the traffic-protocol analog of the video route's
-    randomized SVT, for shapes where the retained spectrum is NOT low-rank
-    (chicago's 5929x2016 keeps >=76%). Validated against the exact path by
-    tools/validate_warm_svt.py."""
+    on bipartitions with thin side >= ops/svt.py WARM_MIN_DIM (others run
+    exact gram every iteration) — the traffic-protocol analog of the video
+    route's randomized SVT, for shapes where the retained spectrum is NOT
+    low-rank (chicago's 5929x2016 keeps >=76%). Validated against the
+    exact path by tools/validate_warm_svt.py."""
     has_origin = origin is not None
     dummy = origin if has_origin else x_noise
     ind = ind_obs.astype(x_noise.dtype)
@@ -233,11 +212,11 @@ def rc_fctn(
         dims_l = [
             math.prod(x_noise.shape[o] for o in order[:half]) for order in orders
         ]
-        _, warm_idx, warm_thin = _warm_spec(
-            svt_method, x_noise.shape, orders, dims_l
+        _, warm_idx, warm_thin = warm_spec(
+            svt_method, _bipartition_shapes(x_noise.shape, dims_l)
         )
-        # Identity placeholders; the first iteration (k=0, k % K == 0)
-        # refreshes before any reuse.
+        # Identity placeholders; the first block iteration refreshes before
+        # any reuse (run_warm_blocks).
         bases = tuple(jnp.eye(t, dtype=x_noise.dtype) for t in warm_thin)
     carry = (
         zeros, x_noise, zeros, zeros, zeros, zeros,

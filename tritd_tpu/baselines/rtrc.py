@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.shrinkage import soft_threshold
-from ..ops.svt import svt
+from ..ops.svt import run_warm_blocks, svt, svt_warm, warm_spec
 
 
 def _circular_orders(n: int):
@@ -68,15 +68,35 @@ def _rtrc_run(
     norm_origin = jnp.linalg.norm(origin.ravel()) if has_origin else 1.0
     inv_orders = [tuple(np.argsort(o)) for o in orders]
     dims_l = [math.prod([shape[o] for o in order[: -(-len(shape) // 2)]]) for order in orders]
+    total = math.prod(shape)
+    warm = svt_method.startswith("warm")
+    if warm:
+        # "warm:<K>": warm-started basis reuse on the big-thin-side circular
+        # unfoldings (chicago's 5929x2016 cut pays a ~160 ms eigh per
+        # iteration on the exact path). RTRC uses PLAIN soft-threshold SVT
+        # (no truncation gate), for which warm reuse is valid — it
+        # approximates the basis, not the retained rank (ops/svt.py::
+        # svt_warm; validated by tools/validate_warm_svt.py --method ring).
+        warm_period, warm_idx, _ = warm_spec(
+            svt_method, [(d, total // d) for d in dims_l]
+        )
 
-    def body(i, carry):
-        x, y, w, ls, zs, err_hist = carry
+    def body(i, carry, refresh=True):
+        x, y, w, ls, zs, bases, err_hist = carry
         mu = jnp.minimum(mu0 * 1.1**i, 1e6)
         # SVT each circular-shift unfolding (`RTRC.m:45-54`)
         ls_new = []
+        bases_new = list(bases)
         for n_ in range(l):
             m = jnp.transpose(x - zs[n_] / mu, orders[n_]).reshape(dims_l[n_], -1)
-            m = svt(m, weights[n_] / mu, method=svt_method)
+            if warm and n_ in warm_idx:
+                wi = warm_idx.index(n_)
+                m, bases_new[wi] = svt_warm(
+                    m, weights[n_] / mu, bases[wi], refresh
+                )
+            else:
+                m = svt(m, weights[n_] / mu,
+                        method="gram" if warm else svt_method)
             shp = tuple(shape[o] for o in orders[n_])
             ls_new.append(jnp.transpose(m.reshape(shp), inv_orders[n_]))
         l_cs = sum(ls_new)
@@ -92,14 +112,22 @@ def _rtrc_run(
             err_hist = err_hist.at[i].set(
                 jnp.linalg.norm((x - origin).ravel()) / norm_origin
             )
-        return (x, y, w, tuple(ls_new), zs_new, err_hist)
+        return (x, y, w, tuple(ls_new), zs_new, tuple(bases_new), err_hist)
 
+    bases0 = ()
+    if warm:
+        _, _, warm_thin = warm_spec(svt_method, [(d, total // d) for d in dims_l])
+        bases0 = tuple(jnp.eye(t, dtype=dtype) for t in warm_thin)
     carry0 = (
         x_obs, zeros, zeros,
-        tuple(x_obs for _ in range(l)), tuple(zeros for _ in range(l)),
+        tuple(x_obs for _ in range(l)), tuple(zeros for _ in range(l)), bases0,
         jnp.full((max_iter,), jnp.nan, dtype),
     )
-    x, y, _, _, _, err_hist = jax.lax.fori_loop(0, max_iter, body, carry0)
+    if warm:
+        out = run_warm_blocks(body, carry0, 0, max_iter, warm_period)
+    else:
+        out = jax.lax.fori_loop(0, max_iter, body, carry0)
+    x, y, _, _, _, _, err_hist = out
     return x, y, err_hist
 
 

@@ -24,7 +24,12 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.shrinkage import soft_threshold
-from ..ops.svt import svt_ref_compat
+from ..ops.svt import (
+    run_warm_blocks,
+    svt_ref_compat,
+    svt_ref_compat_warm,
+    warm_spec,
+)
 
 
 def weight_tc(nway: tuple[int, ...]) -> list[float]:
@@ -58,16 +63,35 @@ def _tt_trpca_run(
     dtype = x_noise.dtype
     zeros = jnp.zeros(nway, dtype)
     norm_origin = jnp.linalg.norm(origin.ravel()) if has_origin else 1.0
+    total = math.prod(nway)
+    warm = svt_method.startswith("warm")
+    if warm:
+        # "warm:<K>": warm-started basis reuse on the big-thin-side TT cuts
+        # (chicago's 5929x2016 cut pays a ~160 ms eigh per iteration on the
+        # exact path) — same route/validation as RC-FCTN's
+        # (ops/svt.py::svt_ref_compat_warm, tools/validate_warm_svt.py).
+        warm_period, warm_idx, _ = warm_spec(
+            svt_method, [(d, total // d) for d in dim_l]
+        )
 
-    def body(k, carry):
-        z, s, e, j, cs, err_hist, rel_hist = carry
+    def body(k, carry, refresh=True):
+        z, s, e, j, cs, bases, err_hist, rel_hist = carry
         # U_n: SVT on each sequential TT unfolding (`TT_TRPCA.m:45-48`)
         us = []
+        bases_new = list(bases)
         for m in range(ncuts):
             mat = (z - cs[m] / beta[m]).reshape(dim_l[m], -1)
-            us.append(
-                svt_ref_compat(mat, alpha[m] / beta[m], method=svt_method).reshape(nway)
-            )
+            if warm and m in warm_idx:
+                w = warm_idx.index(m)
+                mat, bases_new[w] = svt_ref_compat_warm(
+                    mat, alpha[m] / beta[m], bases[w], refresh
+                )
+            else:
+                mat = svt_ref_compat(
+                    mat, alpha[m] / beta[m],
+                    method="gram" if warm else svt_method,
+                )
+            us.append(mat.reshape(nway))
         gamma = gamma0 * 1.1**k
         deta = deta0 * 1.1**k
         # Y: l1 shrink of the sparse clone (`:51`)
@@ -91,13 +115,21 @@ def _tt_trpca_run(
             err_hist = err_hist.at[k].set(
                 jnp.linalg.norm((origin - z_new).ravel()) / norm_origin
             )
-        return (z_new, s_new, e, j, cs_new, err_hist, rel_hist)
+        return (z_new, s_new, e, j, cs_new, tuple(bases_new), err_hist, rel_hist)
 
+    bases0 = ()
+    if warm:
+        _, _, warm_thin = warm_spec(svt_method, [(d, total // d) for d in dim_l])
+        bases0 = tuple(jnp.eye(t, dtype=dtype) for t in warm_thin)
     carry0 = (
-        zeros, zeros, zeros, zeros, tuple(zeros for _ in range(ncuts)),
+        zeros, zeros, zeros, zeros, tuple(zeros for _ in range(ncuts)), bases0,
         jnp.full((max_iter,), jnp.nan, dtype), jnp.full((max_iter,), jnp.nan, dtype),
     )
-    z, s, _, _, _, err_hist, rel_hist = jax.lax.fori_loop(0, max_iter, body, carry0)
+    if warm:
+        out = run_warm_blocks(body, carry0, 0, max_iter, warm_period)
+    else:
+        out = jax.lax.fori_loop(0, max_iter, body, carry0)
+    z, s, _, _, _, _, err_hist, rel_hist = out
     return z, s, err_hist, rel_hist
 
 

@@ -187,6 +187,106 @@ def svt(m: jnp.ndarray, tau: jnp.ndarray | float, method: str = "svd") -> jnp.nd
     return _apply_spectral(m, lambda s: jnp.maximum(s - tau, 0.0), method)
 
 
+#: Thin-side size at/above which the "warm:<K>" route carries a basis for
+#: an unfolding (below it the per-iteration Gram eigh is a few ms and basis
+#: storage/projection overhead is not worth it). The QDWH per-invocation
+#: floor makes even mid-size eighs expensive relative to GEMMs (measured:
+#: eigh(512) 10.7 ms, eigh(1024) 34.8 ms, eigh(2016) ~160 ms vs sub-ms
+#: projections) — see docs/BENCH_NOTES.md.
+WARM_MIN_DIM = 128
+
+
+def warm_spec(svt_method: str, mat_shapes) -> tuple[int, tuple[int, ...], tuple[int, ...]]:
+    """Parse ``"warm:<K>"`` against a solver's list of unfolding shapes →
+    (refresh period K, indices of unfoldings that carry a warm basis, their
+    thin-side sizes). Unfoldings with thin side < WARM_MIN_DIM run the
+    exact gram path every iteration."""
+    _, _, k = svt_method.partition(":")
+    period = int(k) if k else 4
+    idx, thin = [], []
+    for i, (p, q) in enumerate(mat_shapes):
+        t = min(p, q)
+        if t >= WARM_MIN_DIM:
+            idx.append(i)
+            thin.append(t)
+    return period, tuple(idx), tuple(thin)
+
+
+def run_warm_blocks(body, carry, k0, n_steps: int, period: int):
+    """Drive `body(k, carry, refresh: bool)` for `n_steps` iterations from
+    absolute iteration `k0`, refreshing (STATICALLY — see
+    :func:`svt_ref_compat_warm` for why not a traced cond) on the first
+    iteration of every `period`-block. Program size is CONSTANT in period:
+    one refresh body + one fori_loop'd stale body per (full-blocks,
+    remainder) section — NOT period-unrolled, so the compile-helper-killing
+    program growth of a K-way unroll is avoided."""
+    import jax as _jax
+
+    n_blocks, rem = divmod(n_steps, period)
+
+    def block(b, c):
+        base = k0 + b * period
+        c = body(base, c, True)
+        if period > 1:
+            c = _jax.lax.fori_loop(
+                1, period, lambda j, cc: body(base + j, cc, False), c
+            )
+        return c
+
+    if n_blocks:
+        carry = _jax.lax.fori_loop(0, n_blocks, block, carry)
+    if rem:
+        base = k0 + n_blocks * period
+        carry = body(base, carry, True)
+        if rem > 1:
+            carry = _jax.lax.fori_loop(
+                base + 1, base + rem, lambda k, cc: body(k, cc, False), carry
+            )
+    return carry
+
+
+def _warm_apply(m, shrink, basis, refresh_now):
+    """Shared warm-basis spectral shrinkage: exact thin-side Gram eigh on
+    refresh, stale-basis projection otherwise. Returns (out, basis)."""
+    p, q = m.shape
+    if p < q:
+        out, basis = _warm_apply(m.T, shrink, basis, refresh_now)
+        return out.T, basis
+
+    def _fresh():
+        _, v = jnp.linalg.eigh(m.T @ m)
+        return v
+
+    if isinstance(refresh_now, bool):
+        # Static schedule (the production path): resolve the branch at
+        # trace time — a traced lax.cond around the big eigh was measured
+        # (r4, chicago) to execute BOTH branches for some schedules on TPU,
+        # erasing the entire saving.
+        v = _fresh() if refresh_now else basis
+    else:
+        v = jax.lax.cond(refresh_now, _fresh, lambda: basis)
+    proj = m @ v  # columns are σ_i·u_i when v is current
+    s = jnp.sqrt(jnp.sum(proj * proj, axis=0))
+    scale = shrink(s) / jnp.maximum(s, jnp.finfo(m.dtype).tiny)
+    return proj @ (v.T * scale[:, None]), v
+
+
+def svt_warm(
+    m: jnp.ndarray,
+    tau: jnp.ndarray | float,
+    basis: jnp.ndarray,
+    refresh_now: jnp.ndarray | bool,
+):
+    """Plain soft-threshold SVT with a warm-started basis — the RTRC
+    (`shrink_matrix.m` flag=false branch) analog of
+    :func:`svt_ref_compat_warm`. Unlike the randomized 'lowrank' route,
+    warm reuse needs NO truncating gate: it approximates the basis, not
+    the retained rank, so it is valid for any shrinkage; accuracy is the
+    same empirical basis-drift question, validated per benchmark shape by
+    tools/validate_warm_svt.py."""
+    return _warm_apply(m, lambda s: jnp.maximum(s - tau, 0.0), basis, refresh_now)
+
+
 def svt_ref_compat_warm(
     m: jnp.ndarray,
     tau: jnp.ndarray | float,
@@ -215,31 +315,14 @@ def svt_ref_compat_warm(
     at benchmark shape, the same standard the randomized route met.
     `basis` is the thin-side orthonormal basis (q x q when p >= q, else
     p x p); initialize with identity — callers must refresh on the first
-    iteration (k % K == 0 at k=0 does).
+    iteration (run_warm_blocks does).
     """
-    p, q = m.shape
-    if p < q:
-        out, basis = svt_ref_compat_warm(m.T, tau, basis, refresh_now)
-        return out.T, basis
 
-    def _fresh():
-        _, v = jnp.linalg.eigh(m.T @ m)
-        return v
+    def shrink(s):
+        s_shrunk = soft_threshold(s, tau)
+        return jnp.where(s_shrunk > 1.0, s_shrunk, 0.0)
 
-    if isinstance(refresh_now, bool):
-        # Static schedule (the production path): resolve the branch at
-        # trace time — a traced lax.cond around the big eigh was measured
-        # (r4, chicago) to execute BOTH branches for some schedules on TPU,
-        # erasing the entire saving.
-        v = _fresh() if refresh_now else basis
-    else:
-        v = jax.lax.cond(refresh_now, _fresh, lambda: basis)
-    proj = m @ v  # columns are σ_i·u_i when v is current
-    s = jnp.sqrt(jnp.sum(proj * proj, axis=0))
-    s_shrunk = soft_threshold(s, tau)
-    s_shrunk = jnp.where(s_shrunk > 1.0, s_shrunk, 0.0)
-    scale = s_shrunk / jnp.maximum(s, jnp.finfo(m.dtype).tiny)
-    return proj @ (v.T * scale[:, None]), v
+    return _warm_apply(m, shrink, basis, refresh_now)
 
 
 def svt_ref_compat(
