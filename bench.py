@@ -412,14 +412,23 @@ def main() -> None:
     # FULL MODE ONLY: the video/chicago first-touch compiles are ~170 s
     # each, far past what the no-arg run can afford. Order: cheapest/most-
     # load-bearing first so an alarm kill degrades gracefully.
+    # warm:8 rows — warm-started basis reuse on every unfolding with thin
+    # side >= ops/svt.py WARM_MIN_DIM, refreshing the exact Gram eigh every
+    # 8th iteration. Each routed cell is validated against its exact gram
+    # path AT THIS PROTOCOL (docs/WARM_SVT_r04.json `cells`:
+    # err_hist agreement <=6.3e-3 abs on O(1) residuals, final-X <=1.9e-3
+    # for the ref-compat methods / 1.8% for ring's unconstrained subspace
+    # at identical final err). The chicago 5929x2016 unfolding keeps >=76%
+    # of its spectrum, so the randomized route is invalid there — warm
+    # amortizes the eigh instead.
     baseline_plan = [
         ("ttnn", "taxi", "gram"),
         ("ring", "taxi", "gram"),
-        ("fctn", "taxi", "gram"),
+        ("fctn", "taxi", "warm:8"),
         ("sofia", "taxi", None),
         ("ttnn", "sensor", "gram"),
         ("ring", "sensor", "gram"),
-        ("fctn", "sensor", "gram"),
+        ("fctn", "sensor", "warm:8"),
         ("sofia", "sensor", None),
         ("ttnn", "highway", "gram"),
         ("ring", "highway", "gram"),
@@ -434,14 +443,10 @@ def main() -> None:
         # remaining completion datasets
         ("ttnn", "network", "gram"),
         ("ring", "network", "gram"),
-        ("fctn", "network", "gram"),
+        ("fctn", "network", "warm:8"),
         ("sofia", "network", None),
-        ("ttnn", "chicago", "gram"),
-        ("ring", "chicago", "gram"),
-        # warm:8 — the chicago 5929x2016 bipartition keeps >=76% of its
-        # spectrum (randomized route invalid); the warm-started basis route
-        # is validated against exact gram at this exact protocol
-        # (docs/WARM_SVT_r04.json: 6.0s vs 20.1s, final-X diff 3.5e-8).
+        ("ttnn", "chicago", "warm:8"),
+        ("ring", "chicago", "warm:8"),
         ("fctn", "chicago", "warm:8"),
         ("sofia", "chicago", None),
     ]
