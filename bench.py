@@ -441,8 +441,8 @@ def main() -> None:
         # table in docs/BENCH_NOTES.md
         ("ttnn", "taxi", "svd"),
         # remaining completion datasets
-        ("ttnn", "network", "gram"),
-        ("ring", "network", "gram"),
+        ("ttnn", "network", "warm:8"),
+        ("ring", "network", "warm:8"),
         ("fctn", "network", "warm:8"),
         ("sofia", "network", None),
         ("ttnn", "chicago", "warm:8"),
