@@ -313,6 +313,14 @@ def test_check_parity_logic():
                "rre": 0.1}
     assert "no published cell" in check_parity([unknown])[0]
     assert check_parity([])  # zero rows is a failure, not a silent pass
+    # protocol enforcement (r4 review): a non-published protocol cannot
+    # "pass" — 10 iterations trivially beats every published wall-clock
+    assert any("max_iter=10" in m for m in check_parity([ok_row], max_iter=10))
+    assert any(
+        "missing_ratio=0.15" in m
+        for m in check_parity([ok_row], missing_ratio=0.15)
+    )
+    assert check_parity([ok_row], max_iter=100, missing_ratio=0.10) == []
 
 
 def test_cli_verify_parity_fixture_mat(tmp_path, rng_key):
@@ -327,8 +335,9 @@ def test_cli_verify_parity_fixture_mat(tmp_path, rng_key):
 
     t = np.asarray(jax.random.normal(rng_key, (8, 9, 10))) * 10
     sio.savemat(os.path.join(tmp_path, "sensor.mat"), {"T": t})
+    protocol = ["--max-iter", "100", "--missing-ratio", "0.10"]
     args = [
-        "--datasets", "sensor", "--methods", "triple", "--max-iter", "5",
+        "--datasets", "sensor", "--methods", "triple", *protocol,
         "--data-dir", str(tmp_path), "--out-dir", str(tmp_path / "results"),
         "--verify-parity",
     ]
@@ -338,12 +347,20 @@ def test_cli_verify_parity_fixture_mat(tmp_path, rng_key):
     # generous gap -> the same fixture run passes the mechanical check
     rows = run_completion.main(args + ["--parity-gap", "10.0"])
     assert rows and rows[0]["provenance"] == "mat"
+    # a non-published protocol must fail regardless of gap (r4 review)
+    with pytest.raises(SystemExit):
+        run_completion.main([
+            "--datasets", "sensor", "--methods", "triple", "--max-iter", "5",
+            "--missing-ratio", "0.10",
+            "--data-dir", str(tmp_path), "--out-dir", str(tmp_path / "r3"),
+            "--verify-parity", "--parity-gap", "10.0",
+        ])
     # synthetic fallback (empty data dir) must fail regardless of gap
     empty = tmp_path / "empty"
     empty.mkdir()
     with pytest.raises(SystemExit):
         run_completion.main([
-            "--datasets", "sensor", "--methods", "triple", "--max-iter", "5",
+            "--datasets", "sensor", "--methods", "triple", *protocol,
             "--data-dir", str(empty), "--out-dir", str(tmp_path / "r2"),
             "--verify-parity", "--parity-gap", "10.0",
         ])

@@ -400,6 +400,20 @@ def test_svt_warm_refresh_matches_gram(rng_key):
         np.testing.assert_array_equal(np.asarray(basis2), np.asarray(basis))
 
 
+def test_warm_spec_strict_parsing():
+    """r4 review: 'warm8' (missing colon) must error, not silently run the
+    default period-4 schedule while recording the bogus string."""
+    import pytest
+
+    from tritd_tpu.ops.svt import warm_spec
+
+    assert warm_spec("warm", [(200, 300)])[0] == 4
+    assert warm_spec("warm:8", [(200, 300)]) == (8, (0,), (200,))
+    for bad in ("warm8", "warm:", "warm:x", "warm:0", "warmish"):
+        with pytest.raises(ValueError, match="warm"):
+            warm_spec(bad, [(200, 300)])
+
+
 def test_ttnn_ring_warm_routes(rng_key):
     """warm:<K> on TTNN and RING: inert (== gram) when no cut qualifies,
     and close to the exact path when cuts DO carry a warm basis (thin side

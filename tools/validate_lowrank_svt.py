@@ -38,6 +38,11 @@ from tritd_tpu.data.synthetic import synthetic_video
 
 def compare_routes(y4, ind, n_iters: int, method: str) -> dict:
     """Solve with `method` and with exact gram; return agreement stats."""
+    if method == "gram":
+        # the dict below is keyed by label, so gram-vs-gram would compare
+        # an array against itself and report a fake perfect validation
+        raise ValueError("method='gram' IS the reference route — pick the"
+                         " candidate route to validate (e.g. 'auto:512')")
     res = {}
     for label, meth, chunk in ((method, method, 25), ("gram", "gram", 5)):
         t0 = time.perf_counter()

@@ -88,12 +88,12 @@ def weight_fctn(nway: tuple[int, ...], orders) -> list[float]:
     jax.jit,
     static_argnames=(
         "lam", "f", "gamma0", "deta0", "max_iter", "n_steps", "has_origin",
-        "svt_method",
+        "svt_method", "warm_cfg",
     ),
 )
 def _rc_fctn_steps(
     x_noise, ind_obs, origin, carry, k0, lam, f, gamma0, deta0, max_iter,
-    n_steps, has_origin, svt_method="svd",
+    n_steps, has_origin, svt_method="svd", warm_cfg=None,
 ):
     """Run `n_steps` iterations from absolute iteration `k0` (traced, so one
     compilation serves every chunk). Chunking bounds the wall time of a
@@ -114,11 +114,12 @@ def _rc_fctn_steps(
     dtype = x_noise.dtype
     ind_mis = 1.0 - ind_obs
     norm_origin = jnp.linalg.norm(origin.ravel()) if has_origin else 1.0
-    warm = svt_method.startswith("warm")
+    # warm_cfg is the (period, indices, thin_sides) spec computed ONCE in
+    # rc_fctn() — the same object that sized the carried bases, so index/
+    # shape alignment cannot drift between the two (r4 review).
+    warm = warm_cfg is not None
     if warm:
-        warm_period, warm_idx, _ = warm_spec(
-            svt_method, _bipartition_shapes(nway, dims_l)
-        )
+        warm_period, warm_idx, _ = warm_cfg
 
     def body(k, carry, refresh=True):
         """One iteration. `refresh` is a PYTHON bool in warm mode — the
@@ -206,18 +207,19 @@ def rc_fctn(
     chunk = max_iter if chunk is None else min(chunk, max_iter)
     zeros = jnp.zeros(x_noise.shape, x_noise.dtype)
     orders = balanced_bipartitions(x_noise.ndim)
-    bases = ()
+    bases, warm_cfg = (), None
     if svt_method.startswith("warm"):
         half = x_noise.ndim // 2
         dims_l = [
             math.prod(x_noise.shape[o] for o in order[:half]) for order in orders
         ]
-        _, warm_idx, warm_thin = warm_spec(
+        warm_cfg = warm_spec(
             svt_method, _bipartition_shapes(x_noise.shape, dims_l)
         )
         # Identity placeholders; the first block iteration refreshes before
-        # any reuse (run_warm_blocks).
-        bases = tuple(jnp.eye(t, dtype=x_noise.dtype) for t in warm_thin)
+        # any reuse (run_warm_blocks). Sized by the SAME spec object the
+        # step function consumes.
+        bases = tuple(jnp.eye(t, dtype=x_noise.dtype) for t in warm_cfg[2])
     carry = (
         zeros, x_noise, zeros, zeros, zeros, zeros,
         tuple(zeros for _ in orders),
@@ -230,7 +232,7 @@ def rc_fctn(
         carry = _rc_fctn_steps(
             x_noise, ind, dummy, carry, jnp.asarray(k0, jnp.int32),
             float(lam), float(f), float(gamma), float(deta), max_iter,
-            n_steps, has_origin, svt_method,
+            n_steps, has_origin, svt_method, warm_cfg,
         )
         k0 += n_steps
     x, _, _, s, _, _, _, _, err_hist = carry

@@ -77,7 +77,7 @@ def _rtrc_run(
         # (no truncation gate), for which warm reuse is valid — it
         # approximates the basis, not the retained rank (ops/svt.py::
         # svt_warm; validated by tools/validate_warm_svt.py --method ring).
-        warm_period, warm_idx, _ = warm_spec(
+        warm_period, warm_idx, warm_thin = warm_spec(
             svt_method, [(d, total // d) for d in dims_l]
         )
 
@@ -114,10 +114,9 @@ def _rtrc_run(
             )
         return (x, y, w, tuple(ls_new), zs_new, tuple(bases_new), err_hist)
 
-    bases0 = ()
-    if warm:
-        _, _, warm_thin = warm_spec(svt_method, [(d, total // d) for d in dims_l])
-        bases0 = tuple(jnp.eye(t, dtype=dtype) for t in warm_thin)
+    bases0 = (
+        tuple(jnp.eye(t, dtype=dtype) for t in warm_thin) if warm else ()
+    )
     carry0 = (
         x_obs, zeros, zeros,
         tuple(x_obs for _ in range(l)), tuple(zeros for _ in range(l)), bases0,

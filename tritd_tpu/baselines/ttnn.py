@@ -70,7 +70,7 @@ def _tt_trpca_run(
         # (chicago's 5929x2016 cut pays a ~160 ms eigh per iteration on the
         # exact path) — same route/validation as RC-FCTN's
         # (ops/svt.py::svt_ref_compat_warm, tools/validate_warm_svt.py).
-        warm_period, warm_idx, _ = warm_spec(
+        warm_period, warm_idx, warm_thin = warm_spec(
             svt_method, [(d, total // d) for d in dim_l]
         )
 
@@ -117,10 +117,9 @@ def _tt_trpca_run(
             )
         return (z_new, s_new, e, j, cs_new, tuple(bases_new), err_hist, rel_hist)
 
-    bases0 = ()
-    if warm:
-        _, _, warm_thin = warm_spec(svt_method, [(d, total // d) for d in dim_l])
-        bases0 = tuple(jnp.eye(t, dtype=dtype) for t in warm_thin)
+    bases0 = (
+        tuple(jnp.eye(t, dtype=dtype) for t in warm_thin) if warm else ()
+    )
     carry0 = (
         zeros, zeros, zeros, zeros, tuple(zeros for _ in range(ncuts)), bases0,
         jnp.full((max_iter,), jnp.nan, dtype), jnp.full((max_iter,), jnp.nan, dtype),

@@ -151,6 +151,17 @@ def main(argv=None) -> list[dict]:
             )
             jax.block_until_ready(x_hat)
             elapsed = time.perf_counter() - t0
+            if args.verify_parity and spec.kind == "video":
+                # video cells are judged on wall-clock; the published
+                # MATLAB times contain no jit compile/tunnel warm-up, so
+                # re-time a warm solve (see run_video; r4 review)
+                t0 = time.perf_counter()
+                x_hat, o, err_hist = run_method(
+                    method, y, x, mask, spec, key, args.max_iter,
+                    svt_method=args.svt_method,
+                )
+                jax.block_until_ready(x_hat)
+                elapsed = time.perf_counter() - t0
             _, rre_all = evaluate(x_hat, x, None)
             row = {
                 "dataset": name,
@@ -168,7 +179,10 @@ def main(argv=None) -> list[dict]:
         from ..utils.published import DEFAULT_RRE_GAP, check_parity
 
         gap = DEFAULT_RRE_GAP if args.parity_gap is None else args.parity_gap
-        failures = check_parity(rows, gap=gap)
+        failures = check_parity(
+            rows, gap=gap, max_iter=args.max_iter,
+            missing_ratio=args.missing_ratio,
+        )
         if failures:
             for msg in failures:
                 print(f"PARITY FAIL {msg}")

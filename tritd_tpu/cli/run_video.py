@@ -78,28 +78,38 @@ def main(argv=None) -> list[dict]:
         artifacts.save_raw(args.out_dir, name, y)
         print(f"===== Dataset: {name} ({provenance}) shape={x.shape} =====")
 
-        t0 = time.perf_counter()
-        if args.method == "triple":
-            cfg = dataclasses.replace(VIDEO_TRITD, max_iter=args.max_iter)
-            res = tritd_admm(y, cfg, key=key, origin=x)
-            x_hat = triple_product(res.a, res.b, res.c)
-            o = res.o
-            err_hist = np.asarray(trim_history(res.err_hist, res.n_iters))
-        elif args.method == "outlier":
-            cfg = OutlierConfig(rank=5, max_iter=args.max_iter)
-            res = tritd_admm_outlier(y, cfg, key=key)
-            x_hat = triple_product(res.a, res.b, res.c)
-            o = res.o
-            err_hist = np.asarray(trim_history(res.err_hist, res.n_iters))
-        else:
+        def solve():
+            if args.method == "triple":
+                cfg = dataclasses.replace(VIDEO_TRITD, max_iter=args.max_iter)
+                res = tritd_admm(y, cfg, key=key, origin=x)
+                return (triple_product(res.a, res.b, res.c), res.o,
+                        np.asarray(trim_history(res.err_hist, res.n_iters)))
+            if args.method == "outlier":
+                cfg = OutlierConfig(rank=5, max_iter=args.max_iter)
+                res = tritd_admm_outlier(y, cfg, key=key)
+                return (triple_product(res.a, res.b, res.c), res.o,
+                        np.asarray(trim_history(res.err_hist, res.n_iters)))
             from .run_completion import run_method
 
-            x_hat, o, err_hist = run_method(
+            return run_method(
                 args.method, y, x, mask, spec, key, args.max_iter,
                 svt_method=args.svt_method,
             )
+
+        t0 = time.perf_counter()
+        x_hat, o, err_hist = solve()
         jax.block_until_ready(x_hat)
         elapsed = time.perf_counter() - t0
+        if args.verify_parity:
+            # The published MATLAB times contain no jit compile or tunnel
+            # warm-up; a cold first call includes both (compiles alone are
+            # ~100-170 s at video shape), so the parity check would
+            # spuriously fail on the run it exists for (r4 review). Re-time
+            # a warm solve — the same protocol bench.py measures.
+            t0 = time.perf_counter()
+            x_hat, o, err_hist = solve()
+            jax.block_until_ready(x_hat)
+            elapsed = time.perf_counter() - t0
 
         missing = ~mask
         rmse_m, nrmse_m = evaluate(x_hat, x, missing) if args.missing_ratio else (0.0, 0.0)
@@ -111,6 +121,7 @@ def main(argv=None) -> list[dict]:
             "dataset": name,
             "method": args.method,
             "seconds": round(elapsed, 3),
+            "iters": int(len(err_hist)),
             "rmse_missing": float(rmse_m),
             "nrmse_missing": float(nrmse_m),
             "rmse_sparse": float(rmse_o),
@@ -148,7 +159,7 @@ def main(argv=None) -> list[dict]:
     if args.verify_parity:
         from ..utils.published import check_parity
 
-        failures = check_parity(rows)
+        failures = check_parity(rows, max_iter=args.max_iter)
         if failures:
             for msg in failures:
                 print(f"PARITY FAIL {msg}")

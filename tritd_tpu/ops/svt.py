@@ -200,8 +200,17 @@ def warm_spec(svt_method: str, mat_shapes) -> tuple[int, tuple[int, ...], tuple[
     """Parse ``"warm:<K>"`` against a solver's list of unfolding shapes →
     (refresh period K, indices of unfoldings that carry a warm basis, their
     thin-side sizes). Unfoldings with thin side < WARM_MIN_DIM run the
-    exact gram path every iteration."""
-    _, _, k = svt_method.partition(":")
+    exact gram path every iteration.
+
+    Strict form: exactly ``"warm"`` (default K=4) or ``"warm:<int>"`` — a
+    typo like ``"warm8"`` must error, not silently run a different refresh
+    schedule than the one recorded/validated (r4 review)."""
+    name, sep, k = svt_method.partition(":")
+    if name != "warm" or (sep and not k.isdigit()) or (sep and int(k) < 1):
+        raise ValueError(
+            f"malformed warm SVT method {svt_method!r}: use 'warm' or"
+            " 'warm:<K>' with integer K >= 1 (e.g. 'warm:8')"
+        )
     period = int(k) if k else 4
     idx, thin = [], []
     for i, (p, q) in enumerate(mat_shapes):

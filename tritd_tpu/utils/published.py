@@ -50,9 +50,20 @@ PUBLISHED_SECONDS: dict[str, dict[str, float]] = {
 DEFAULT_RRE_GAP = 0.05
 
 
-def check_parity(rows: list[dict], gap: float = DEFAULT_RRE_GAP) -> list[str]:
+def check_parity(
+    rows: list[dict],
+    gap: float = DEFAULT_RRE_GAP,
+    max_iter: int | None = None,
+    missing_ratio: float | None = None,
+) -> list[str]:
     """Mechanically check a list of CLI result rows against the published
     tables. Returns failure messages (empty list = parity holds).
+
+    `max_iter` / `missing_ratio` are the PROTOCOL the caller ran (pass the
+    CLI args): the published numbers are 100 iterations at 10% uniform
+    missing (reference `README.md:53`), so a run at a different protocol
+    must fail rather than "pass" a check it never executed (r4 review —
+    e.g. --max-iter 10 trivially beats every published wall-clock).
 
     Per row (needs keys dataset/method/provenance, plus rre or seconds):
 
@@ -67,6 +78,19 @@ def check_parity(rows: list[dict], gap: float = DEFAULT_RRE_GAP) -> list[str]:
       against).
     """
     failures = []
+    if max_iter is not None and max_iter != 100:
+        failures.append(
+            f"protocol: max_iter={max_iter} != 100 — the published tables"
+            " are 100-iteration runs (README.md:53); rerun with"
+            " --max-iter 100"
+        )
+    if missing_ratio is not None and abs(missing_ratio - 0.10) > 1e-9:
+        failures.append(
+            f"protocol: missing_ratio={missing_ratio} != 0.10 — the"
+            " published completion RREs are at 10% uniform missing"
+            " (README.md:53; note the CLI default is the committed"
+            " driver's 0.15 quirk); rerun with --missing-ratio 0.10"
+        )
     for row in rows:
         ds, method = row.get("dataset"), row.get("method")
         tag = f"{method}:{ds}"
