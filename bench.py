@@ -309,6 +309,10 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    from tritd_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     # --full / TRITD_BENCH_FULL=1: the complete 5-method x 8-config table +
     # rate details + the batched row (~25-40 min incl. first-touch compiles;
     # the r3/r4 full captures in docs/BENCH_FULL_r*.json come from this

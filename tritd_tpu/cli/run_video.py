@@ -67,6 +67,9 @@ def main(argv=None) -> list[dict]:
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     rows = []
     for name in args.datasets:
