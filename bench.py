@@ -426,7 +426,7 @@ def main() -> None:
     # of its spectrum, so the randomized route is invalid there — warm
     # amortizes the eigh instead.
     baseline_plan = [
-        ("ttnn", "taxi", "gram"),
+        ("ttnn", "taxi", "warm:8"),
         ("ring", "taxi", "gram"),
         ("fctn", "taxi", "warm:8"),
         ("sofia", "taxi", None),
