@@ -458,6 +458,26 @@ def test_ttnn_ring_warm_routes(rng_key):
     assert rel_x < 1e-2
 
 
+def test_warm_period_one_is_exact(rng_key):
+    """warm:1 refreshes every iteration — it must equal the exact gram
+    path to float tolerance even when bases ARE carried (thin side >=
+    WARM_MIN_DIM), across chunk boundaries."""
+    from tritd_tpu.baselines.rc_fctn import rc_fctn
+    from tritd_tpu.ops.svt import WARM_MIN_DIM
+
+    assert WARM_MIN_DIM <= 160
+    ks = jax.random.split(rng_key, 4)
+    us = [jax.random.normal(k, (s, 2)) for k, s in zip(ks, (150, 4, 8, 20))]
+    x = jnp.einsum("ir,jr,kr,lr->ijkl", *us) * 2.0  # bipartition 600x160
+    ind = jnp.ones_like(x)
+    h_w = rc_fctn(x, 1.0, ind, origin=x, f=0.1, max_iter=10,
+                  svt_method="warm:1", chunk=4)[2]
+    h_g = rc_fctn(x, 1.0, ind, origin=x, f=0.1, max_iter=10,
+                  svt_method="gram")[2]
+    np.testing.assert_allclose(np.asarray(h_w), np.asarray(h_g),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_rc_fctn_warm_route_small_shape_equals_gram(rng_key):
     """"warm:<K>" on CPU-test shapes (every thin side < WARM_MIN_DIM)
     must be numerically identical to the exact gram path — the warm carry
