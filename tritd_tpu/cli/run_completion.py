@@ -109,11 +109,15 @@ def main(argv=None) -> list[dict]:
         "--svt-method", default="svd",
         help="SVT route for the SVT-ADMM baselines: 'svd' (exact-reference"
         " numerics, default), 'gram' (TPU Gram-eigh), 'auto'/'lowrank:<b>'"
-        " (shape-routed randomized top-k; see ops/svt.py). The randomized"
-        " route is only valid for the tail-truncating baselines (ttnn/fctn)"
-        " — plain-SVT methods (ring) reject it and accept 'auto' only when"
-        " it resolves to gram. 'auto' is the recommended (and fctn-driver"
-        " default) route for fctn on video shapes.",
+        " (shape-routed randomized top-k; see ops/svt.py), 'warm:<K>'"
+        " (warm-started basis, exact Gram-eigh refresh every K-th"
+        " iteration — the fast route for big unfoldings whose retained"
+        " spectrum is NOT low-rank; per-cell validations in"
+        " docs/WARM_SVT_r04.json). The randomized route is only valid for"
+        " the tail-truncating baselines (ttnn/fctn) — plain-SVT methods"
+        " (ring) reject it and accept 'auto' only when it resolves to"
+        " gram. 'auto' is the recommended (and fctn-driver default) route"
+        " for fctn on video shapes.",
     )
     p.add_argument(
         "--platform", default=None, choices=("cpu", "tpu"),
