@@ -142,6 +142,9 @@ def aot_v5e8() -> dict:
 
 
 def main() -> None:
+    from tritd_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--out", default=None)

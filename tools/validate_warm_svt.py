@@ -40,6 +40,9 @@ from tritd_tpu.data import load_dataset, uniform_missing_mask
 
 
 def main() -> None:
+    from tritd_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--method", default="fctn", choices=("fctn", "ttnn", "ring"))
     p.add_argument("--dataset", default="chicago")
@@ -48,22 +51,84 @@ def main() -> None:
     p.add_argument("--out", default=None)
     p.add_argument("--ref-cache", default=None,
                    help=".npz path caching the exact-gram reference run")
+    p.add_argument("--data-seeds", default=None,
+                   help="comma-separated seeds: draw a FRESH mixed-family"
+                   " traffic stand-in at the dataset's shape per seed"
+                   " (same jit programs — shapes are static — so one"
+                   " process handles every seed; basis-drift is data-"
+                   "dependent, this hardens the one-seed validation)")
     a = p.parse_args()
 
     t0 = time.perf_counter()
     x_np, spec, prov = load_dataset(a.dataset)
-    x = jnp.asarray(x_np, jnp.float32)
     key = jax.random.PRNGKey(0)
-    if spec.kind == "video":
-        # bench.py's video protocol: nothing missing (background modeling)
-        mask = jnp.ones(x.shape, bool)
-        y = x
-    else:
+
+    def problem_for(x_np):
+        x = jnp.asarray(x_np, jnp.float32)
+        if spec.kind == "video":
+            # bench.py's video protocol: nothing missing
+            return x, jnp.ones(x.shape, bool), x
         mask = uniform_missing_mask(key, x.shape, 0.10)
-        y = jnp.where(mask, x, 0.0)
+        return x, mask, jnp.where(mask, x, 0.0)
+
+    x, mask, y = problem_for(x_np)
     np.asarray(y[0, 0, 0])
     print(f"setup {time.perf_counter() - t0:.1f}s "
           f"({a.method}@{a.dataset}, provenance={prov})", flush=True)
+
+    if a.data_seeds is not None:
+        from tritd_tpu.data.loaders import DATASETS, synthetic_traffic
+
+        assert spec.kind == "traffic", "--data-seeds sweeps traffic stand-ins"
+        sweep = []
+        for seed in (int(s) for s in a.data_seeds.split(",")):
+            x, mask, y = problem_for(
+                synthetic_traffic(DATASETS[a.dataset], jax.random.PRNGKey(seed), seed)
+            )
+            np.asarray(y[0, 0, 0])
+            print(f"data seed {seed}:", flush=True)
+
+            def run(route):
+                t0 = time.perf_counter()
+                xh, _o, hist = run_method(
+                    a.method, y, x, mask, spec, key, a.iters, svt_method=route
+                )
+                hist = np.asarray(hist)
+                float(jnp.linalg.norm(xh.ravel()))
+                print(f"  {route}: {time.perf_counter() - t0:.1f}s "
+                      f"err[last]={hist[-1]:.4g}", flush=True)
+                return jnp.asarray(xh), hist
+
+            xg, hg = run("gram")
+            for kk in (int(v) for v in a.ks.split(",")):
+                xw, hw = run(f"warm:{kk}")
+                adiff = np.abs(hw - hg)
+                sweep.append({
+                    "seed": seed, "method": f"warm:{kk}",
+                    "max_abs_hist_diff": float(adiff.max()),
+                    "argmax_hist_diff_iter": int(np.argmax(adiff)),
+                    "hist_gram_at_argmax": float(hg[int(np.argmax(adiff))]),
+                    "rel_final_x_diff": float(
+                        jnp.linalg.norm((xw - xg).ravel())
+                        / jnp.linalg.norm(xg.ravel())
+                    ),
+                })
+                print(f"  -> |dh|={sweep[-1]['max_abs_hist_diff']:.2e} "
+                      f"relX={sweep[-1]['rel_final_x_diff']:.2e}", flush=True)
+        result = {
+            "protocol": {"solver": a.method, "dataset_shape_of": a.dataset,
+                         "iters": a.iters, "missing_ratio": 0.10,
+                         "fresh_mixed_family_standin_per_seed": True},
+            "sweep": sweep,
+            "worst_max_abs_hist_diff": max(r["max_abs_hist_diff"] for r in sweep),
+            "worst_rel_final_x_diff": max(r["rel_final_x_diff"] for r in sweep),
+        }
+        print(json.dumps(result, indent=1))
+        if a.out:
+            with open(a.out, "w") as fh:
+                json.dump(result, fh, indent=1)
+            print(f"wrote {a.out}")
+        return
 
     def solve(route):
         t0 = time.perf_counter()

@@ -122,34 +122,38 @@ def synthetic_video_truth(spec: DatasetSpec):
     return synthetic_video(key, spec.shape)
 
 
+def synthetic_traffic(spec: DatasetSpec, key: jax.Array, noise_seed: int) -> np.ndarray:
+    """Traffic-like MIXED-family stand-in (VERDICT r3 #7): unit-RMS
+    low-TriTD-rank + 0.8x unit-RMS seasonal low-CP (period = the dataset's
+    SOFIA preset) + 10% relative noise, scaled to an O(100) dynamic range.
+    A pure-TriTD stand-in made SOFIA's rows degenerate (RRE ~0.99 — its
+    CP+seasonal model had literally nothing to fit); the mixture gives
+    every benchmarked method structure in its own family while the
+    shapes/iteration counts — hence compute profiles — are unchanged.
+    Parameterized by key so validation tools can sweep fresh data seeds
+    at benchmark shape (e.g. tools/validate_warm_svt.py --data-seeds)."""
+    k_tritd, k_cp = jax.random.split(key)
+    x_tritd, _ = random_tritd(k_tritd, spec.shape, rank=5, dtype=np.float32)
+    x_cp = seasonal_cp(k_cp, spec.shape, rank=3, period=spec.sofia_period)
+    x = np.asarray(x_tritd) + 0.8 * np.asarray(x_cp)
+    rng = np.random.default_rng(noise_seed)
+    noise = rng.standard_normal(x.shape)
+    x = x + 0.1 * np.linalg.norm(x) / np.linalg.norm(noise) * noise
+    return 50.0 * x
+
+
 def _synthetic_fallback(spec: DatasetSpec) -> np.ndarray:
     """Seeded stand-in with low-TriTD-rank structure + dataset-flavored
     scaling so solvers exercise realistic dynamics. No rectification
     anywhere: abs()/clip on the low-rank part would destroy the structure
     the solvers are benchmarked on."""
-    key = jax.random.PRNGKey(_dataset_seed(spec.name) % (2**31))
+    seed = _dataset_seed(spec.name)
+    key = jax.random.PRNGKey(seed % (2**31))
     if spec.kind == "video":
         observed, _bg, _fg = synthetic_video(key, spec.shape)
         x = np.asarray(observed)
     else:
-        # traffic-like MIXED family (VERDICT r3 #7): unit-RMS low-TriTD-rank
-        # + 0.8x unit-RMS seasonal low-CP (period = the dataset's SOFIA
-        # preset) + 10% relative noise, scaled to an O(100) dynamic range.
-        # A pure-TriTD stand-in made SOFIA's rows degenerate (RRE ~0.99 —
-        # its CP+seasonal model had literally nothing to fit); the mixture
-        # gives every benchmarked method structure in its own family while
-        # the shapes/iteration counts — hence compute profiles — are
-        # unchanged.
-        k_tritd, k_cp = jax.random.split(key)
-        x_tritd, _ = random_tritd(k_tritd, spec.shape, rank=5, dtype=np.float32)
-        x_cp = seasonal_cp(
-            k_cp, spec.shape, rank=3, period=spec.sofia_period
-        )
-        x = np.asarray(x_tritd) + 0.8 * np.asarray(x_cp)
-        rng = np.random.default_rng(_dataset_seed(spec.name))
-        noise = rng.standard_normal(x.shape)
-        x = x + 0.1 * np.linalg.norm(x) / np.linalg.norm(noise) * noise
-        x = 50.0 * x
+        x = synthetic_traffic(spec, key, seed)
     return x.astype(np.float64)
 
 
