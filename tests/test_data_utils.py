@@ -321,6 +321,12 @@ def test_check_parity_logic():
         for m in check_parity([ok_row], missing_ratio=0.15)
     )
     assert check_parity([ok_row], max_iter=100, missing_ratio=0.10) == []
+    # the missing-ratio gate is PER ROW KIND (r4 review): video rows demand
+    # the published missing-rate-0 protocol, completion rows 0.10
+    assert check_parity([video_ok], max_iter=100, missing_ratio=0.0) == []
+    assert any("!= 0" in m for m in check_parity([video_ok], missing_ratio=0.10))
+    mixed = check_parity([ok_row, video_ok], missing_ratio=0.10)
+    assert len(mixed) == 1 and "!= 0" in mixed[0]
 
 
 def test_cli_verify_parity_fixture_mat(tmp_path, rng_key):

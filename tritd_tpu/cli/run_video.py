@@ -162,7 +162,9 @@ def main(argv=None) -> list[dict]:
     if args.verify_parity:
         from ..utils.published import check_parity
 
-        failures = check_parity(rows, max_iter=args.max_iter)
+        failures = check_parity(
+            rows, max_iter=args.max_iter, missing_ratio=args.missing_ratio
+        )
         if failures:
             for msg in failures:
                 print(f"PARITY FAIL {msg}")

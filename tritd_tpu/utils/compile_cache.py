@@ -34,8 +34,10 @@ def enable_persistent_cache(cache_dir: str | None = None) -> bool:
 
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # cache every program (default min-size threshold skips small ones,
-        # and small-program compiles are what the CLIs re-pay most often)
+        # Persist every compile costing >= 0.5 s: that covers everything
+        # worth caching (the 1-170 s solver/baseline programs) while
+        # keeping the thousands of sub-0.5 s helper jits — cheap to redo —
+        # out of the cache directory.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         return True
     except Exception:  # noqa: BLE001 — cache is an optimization, never fatal

@@ -84,13 +84,35 @@ def check_parity(
             " are 100-iteration runs (README.md:53); rerun with"
             " --max-iter 100"
         )
-    if missing_ratio is not None and abs(missing_ratio - 0.10) > 1e-9:
-        failures.append(
-            f"protocol: missing_ratio={missing_ratio} != 0.10 — the"
-            " published completion RREs are at 10% uniform missing"
-            " (README.md:53; note the CLI default is the committed"
-            " driver's 0.15 quirk); rerun with --missing-ratio 0.10"
-        )
+    if missing_ratio is not None:
+        # The two published protocols differ BY ROW KIND: completion RRE is
+        # at 10% uniform missing (README.md:53), video wall-clock at
+        # missing rate 0 (video_triple_comparison.m:5) — gate each class
+        # against its own protocol (r4 review: a single global 0.10 gate
+        # contradicted the video rows it was supposed to protect).
+        def _published_kind(r):
+            m = "triple" if r.get("method") == "triple_masked" else r.get("method")
+            if PUBLISHED_RRE.get(m, {}).get(r.get("dataset")) is not None:
+                return "completion"
+            if PUBLISHED_SECONDS.get(m, {}).get(r.get("dataset")) is not None:
+                return "video"
+            return None
+
+        kinds = {_published_kind(r) for r in rows}
+        if "completion" in kinds and abs(missing_ratio - 0.10) > 1e-9:
+            failures.append(
+                f"protocol: missing_ratio={missing_ratio} != 0.10 — the"
+                " published completion RREs are at 10% uniform missing"
+                " (README.md:53; note the CLI default is the committed"
+                " driver's 0.15 quirk); rerun with --missing-ratio 0.10"
+            )
+        if "video" in kinds and abs(missing_ratio) > 1e-9:
+            failures.append(
+                f"protocol: missing_ratio={missing_ratio} != 0 — the"
+                " published video wall-clocks are at missing rate 0"
+                " (`video_triple_comparison.m:5`); rerun with"
+                " --missing-ratio 0"
+            )
     for row in rows:
         ds, method = row.get("dataset"), row.get("method")
         tag = f"{method}:{ds}"
