@@ -234,20 +234,27 @@ def sofia_init(
     als_max_iters: int = 300,
     key=None,
     epoch_chunk: int | None = None,
+    u_init=None,
+    dtype=jnp.float32,
 ):
     """Batch initialization (`sofia_init.m:60-101`).
 
     Returns (U=(u1,u2,u3), X_hat, O, errHist vs origin). omega True=observed.
-    Factor init is uniform [0, 1) (`rand`, `sofia_init.m:46`)."""
+    Factor init is uniform [0, 1) (`rand`, `sofia_init.m:46`) unless an
+    explicit `u_init=(u1, u2, u3)` is given (used by the emulator-parity
+    harness to hand both sides identical inits)."""
     if key is None:
         key = jax.random.PRNGKey(0)
-    y = jnp.asarray(y, jnp.float32)
+    y = jnp.asarray(y, dtype)
     omega = jnp.asarray(omega, bool)
     shape = y.shape
-    k1, k2, k3 = jax.random.split(key, 3)
-    u1 = jax.random.uniform(k1, (shape[0], r), y.dtype)
-    u2 = jax.random.uniform(k2, (shape[1], r), y.dtype)
-    u3 = jax.random.uniform(k3, (shape[2], r), y.dtype)
+    if u_init is not None:
+        u1, u2, u3 = (jnp.asarray(u, y.dtype) for u in u_init)
+    else:
+        k1, k2, k3 = jax.random.split(key, 3)
+        u1 = jax.random.uniform(k1, (shape[0], r), y.dtype)
+        u2 = jax.random.uniform(k2, (shape[1], r), y.dtype)
+        u3 = jax.random.uniform(k3, (shape[2], r), y.dtype)
 
     has_origin = origin is not None
     dummy = jnp.asarray(origin, y.dtype) if has_origin else jnp.zeros((1,), y.dtype)
