@@ -103,6 +103,7 @@ def main(argv=None) -> list[dict]:
         x_hat, o, err_hist = solve()
         jax.block_until_ready(x_hat)
         elapsed = time.perf_counter() - t0
+        first_call_s, timing = elapsed, "first_call"
         if args.verify_parity:
             # The published MATLAB times contain no jit compile or tunnel
             # warm-up; a cold first call includes both (compiles alone are
@@ -113,6 +114,7 @@ def main(argv=None) -> list[dict]:
             x_hat, o, err_hist = solve()
             jax.block_until_ready(x_hat)
             elapsed = time.perf_counter() - t0
+            timing = "warm"
 
         missing = ~mask
         rmse_m, nrmse_m = evaluate(x_hat, x, missing) if args.missing_ratio else (0.0, 0.0)
@@ -124,6 +126,14 @@ def main(argv=None) -> list[dict]:
             "dataset": name,
             "method": args.method,
             "seconds": round(elapsed, 3),
+            # timing protocol provenance (r4 advisor): rows timed with and
+            # without --verify-parity differ (warm jit-cached vs first
+            # call); record both so saved artifacts stay comparable.
+            "timing": timing,
+            **({"seconds_first_call": round(first_call_s, 3)}
+               if timing == "warm" else {}),
+            **({"svt_method": args.svt_method}
+               if args.method in ("ttnn", "ring", "fctn") else {}),
             "iters": int(len(err_hist)),
             "rmse_missing": float(rmse_m),
             "nrmse_missing": float(nrmse_m),

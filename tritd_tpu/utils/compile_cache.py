@@ -14,14 +14,20 @@ from __future__ import annotations
 
 import os
 
-DEFAULT_CACHE_DIR = ".jax_cache"
+# Anchored to the package's parent (the repo root for a source checkout,
+# where .jax_cache is gitignored) rather than the CWD, so invoking the CLIs
+# from elsewhere does not scatter cache directories (r4 advisor).
+DEFAULT_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".jax_cache",
+)
 
 
 def enable_persistent_cache(cache_dir: str | None = None) -> bool:
     """Idempotently point JAX's compilation cache at `cache_dir` (default:
-    env `JAX_COMPILATION_CACHE_DIR`, else `.jax_cache` under the CWD).
-    Returns True if the cache is enabled. Never raises — an unwritable
-    directory or an old JAX just means cold compiles."""
+    env `JAX_COMPILATION_CACHE_DIR`, else `.jax_cache` under the package's
+    parent directory). Returns True if the cache is enabled. Never raises —
+    an unwritable directory or an old JAX just means cold compiles."""
     if os.environ.get("TRITD_NO_COMPILE_CACHE") == "1":
         return False
     cache_dir = (

@@ -138,6 +138,21 @@ def check_parity(
         pub_s = PUBLISHED_SECONDS.get(method, {}).get(ds)
         if pub_s is not None:
             seconds = row.get("seconds")
+            # A wall-clock-only cell (no published quality metric) may only
+            # pass on an EXACT numerics route: a warm/randomized SVT run can
+            # beat the clock while computing different numerics than the
+            # reference path (r4 advisor). svd/gram are the exact routes
+            # (gram is parity-pinned against svd at benchmark shape).
+            svt = row.get("svt_method")
+            if svt is not None and not (
+                svt in ("svd", "gram") or svt.startswith("gram")
+            ):
+                failures.append(
+                    f"{tag}: svt_method={svt!r} is an approximate route —"
+                    " wall-clock-only parity requires the exact 'svd' or"
+                    " 'gram' numerics; rerun with --svt-method gram"
+                )
+                continue
             if seconds is None:
                 failures.append(f"{tag}: row has no 'seconds' field to check")
             elif seconds > pub_s:
