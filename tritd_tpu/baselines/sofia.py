@@ -59,8 +59,63 @@ def _masked_row_systems(y, omega, wkr):
 
 
 def _pinv_rows(rhs, gram):
-    """row_i <- rhs_i @ pinv(gram_i) (the reference's per-row pinv solve)."""
+    """row_i <- rhs_i @ pinv(gram_i) (the reference's per-row pinv solve).
+
+    Kept as true SVD pinv: the mode-1/2 masked Grams carry no Tikhonov
+    diagonal, so an all-missing (or degenerate) slice is genuinely singular
+    and the reference's min-norm behavior must be preserved. These batches
+    are n1/n2-sized (23-320) — cheap; the n3-sized mode-3 batch uses the
+    SPD closed form below instead (its systems are provably PD)."""
     return jax.vmap(lambda r, g: r @ jnp.linalg.pinv(g))(rhs, gram)
+
+
+def _spd_inverse(mats: jnp.ndarray) -> jnp.ndarray:
+    """Batched inverse of symmetric positive-definite r x r matrices.
+
+    The mode-3 systems are gram (PSD) + diag_coef * I with diag_coef >=
+    lambda1 > 0, so pinv == inv exactly (no singular-value truncation can
+    trigger); the closed adjugate form for r <= 3 is then equivalent to the
+    reference's pinv up to fp rounding. Measured on a v5e at batch 2016:
+    vmapped SVD-pinv 8.95 ms, Cholesky-inverse 0.72 ms, adjugate 0.048 ms,
+    agreeing to ~1e-5 relative (f32 noise level). r > 3 falls back to the
+    Cholesky route."""
+    r = mats.shape[-1]
+    if r == 1:
+        return 1.0 / mats
+    a = mats
+    if r == 2:
+        det = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+        adj = jnp.stack(
+            [a[..., 1, 1], -a[..., 0, 1], -a[..., 1, 0], a[..., 0, 0]], -1
+        ).reshape(a.shape)
+        return adj / det[..., None, None]
+    if r == 3:
+        det = (
+            a[..., 0, 0] * (a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1])
+            - a[..., 0, 1] * (a[..., 1, 0] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 0])
+            + a[..., 0, 2] * (a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0])
+        )
+        adj = jnp.stack(
+            [
+                a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1],
+                a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2],
+                a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1],
+                a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2],
+                a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0],
+                a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2],
+                a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0],
+                a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1],
+                a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0],
+            ],
+            -1,
+        ).reshape(a.shape)
+        return adj / det[..., None, None]
+    chol = jnp.linalg.cholesky(a)
+    eye = jnp.broadcast_to(jnp.eye(r, dtype=a.dtype), a.shape)
+    low = jax.lax.linalg.triangular_solve(chol, eye, left_side=True, lower=True)
+    return jax.lax.linalg.triangular_solve(
+        jnp.swapaxes(chol, -1, -2), low, left_side=True, lower=False
+    )
 
 
 def _mode3_gauss_seidel(u3, rhs_base, gram_base, lam1, lam2, m):
@@ -68,14 +123,26 @@ def _mode3_gauss_seidel(u3, rhs_base, gram_base, lam1, lam2, m):
     (`sofia_als.m:100-122`). Row t uses updated rows t-1, t-m and old rows
     t+1, t+m.
 
-    TPU structure: the t-1 chain makes the sweep inherently sequential, but
-    the per-row Gram (base + boundary-dependent lam1/lam2 multiples of I)
-    does NOT depend on the swept state — only the RHS does. All n3 pinvs
-    are therefore hoisted out of the scan into one batched SVD, and the
-    scan body shrinks to a handful of r-vector FMAs + one r×r matvec
-    (unrolled 16x to amortize TPU loop-step overhead). Measured on the
-    network config (2016 steps, r=3): the in-scan pinv version cost ~13 s
-    per SOFIA solve, losing to the reference's published 12.01 s."""
+    TPU structure (two measured rounds of restructuring): the t-1 chain
+    makes the sweep inherently sequential, but everything else vectorizes
+    out of the scan:
+
+    * the per-row system (Gram + boundary-dependent lam1/lam2 diagonal)
+      does not depend on the swept state — all n3 inverses are hoisted and
+      computed by the SPD closed form (_spd_inverse; the systems are PD
+      because diag_coef >= lam1). vmapped SVD-pinv cost 8.95 ms at n3=2016
+      on a v5e; the adjugate form costs 0.048 ms at pinv-level accuracy.
+    * reads of NOT-yet-updated rows (t+1, t+m) are reads of the INPUT
+      sweep state — precomputed vectorized into rhs0 outside the scan.
+    * reads of already-updated rows are t-1 (carried directly) and t-m
+      (a carried (m, r) delay line). The scan body is then a few r-vector
+      FMAs + one r x r matvec with NO gather/scatter on the full array —
+      output rows are stacked scan ys. Measured at n3=2016: 10.7 ms for
+      the gather/scatter form, 2.2-2.5 ms for this form, max|diff| 2.4e-7
+      (f32 reassociation noise).
+
+    Row t therefore uses updated rows t-1/t-m and old rows t+1/t+m,
+    exactly as in `sofia_als.m:100-122`."""
     n3, r = u3.shape
     eye = jnp.eye(r, dtype=u3.dtype)
     t_idx = jnp.arange(n3)
@@ -86,23 +153,32 @@ def _mode3_gauss_seidel(u3, rhs_base, gram_base, lam1, lam2, m):
     use_fwd = (t_idx < n3 - m).astype(u3.dtype)
     use_bwd = (t_idx >= m).astype(u3.dtype)
     diag_coef = lam1 * (has_prev + has_next) + lam2 * (use_fwd + use_bwd)
-    pinv_all = jax.vmap(jnp.linalg.pinv)(
-        gram_base + diag_coef[:, None, None] * eye[None]
+    inv_all = _spd_inverse(gram_base + diag_coef[:, None, None] * eye[None])
+
+    # old-row contributions, vectorized (rows t+1 / t+m of the INPUT state)
+    rhs0 = (
+        rhs_base
+        + lam1 * has_next[:, None] * jnp.roll(u3, -1, axis=0)
+        + lam2 * use_fwd[:, None] * jnp.roll(u3, -m, axis=0)
     )
+    ring0 = jnp.zeros((m, r), u3.dtype)
 
-    def step(u3_arr, inputs):
-        t, pinv_t = inputs
-        prev_row = u3_arr[jnp.clip(t - 1, 0, n3 - 1)]
-        next_row = u3_arr[jnp.clip(t + 1, 0, n3 - 1)]
-        fwd_row = u3_arr[jnp.clip(t + m, 0, n3 - 1)]
-        bwd_row = u3_arr[jnp.clip(t - m, 0, n3 - 1)]
-        rhs = rhs_base[t] + lam1 * (
-            has_prev[t] * prev_row + has_next[t] * next_row
-        ) + lam2 * (use_fwd[t] * fwd_row + use_bwd[t] * bwd_row)
-        return u3_arr.at[t].set(rhs @ pinv_t), None
+    def step(carry, inputs):
+        prev, ring = carry
+        rhs0_t, inv_t, hp, ub = inputs
+        rhs = rhs0_t + lam1 * hp * prev + lam2 * ub * ring[0]
+        new = rhs @ inv_t
+        # delay line: ring[0] is always row t-m of the UPDATED sweep
+        ring = jnp.concatenate([ring[1:], new[None]], axis=0)
+        return (new, ring), new
 
-    u3, _ = jax.lax.scan(step, u3, (t_idx, pinv_all), unroll=16)
-    return u3
+    (_, _), u3_new = jax.lax.scan(
+        step,
+        (jnp.zeros((r,), u3.dtype), ring0),
+        (rhs0, inv_all, has_prev, use_bwd),
+        unroll=32,
+    )
+    return u3_new
 
 
 def _als_loop(y, omega, u1, u2, u3, m, lam1, lam2, max_iters, fitchangetol):
