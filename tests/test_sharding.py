@@ -63,6 +63,33 @@ def test_auto_sharding_matches(problem):
     )
 
 
+def test_auto_sharding_masked_and_origin(problem):
+    """The GSPMD path takes the identical protocol surface as the shard_map
+    paths (VERDICT r4 #5): masked completion + oracle rre_hist, with inert
+    slab padding (mask pads True, origin pads zero)."""
+    key = jax.random.PRNGKey(3)
+    mask = jax.random.uniform(key, SHAPE) > 0.15
+    y = jnp.where(mask, problem, 0.0)
+    origin = problem
+    cfg = TriTDConfig(rank=2, max_iter=20, tol=0.0, masked=True)
+    mesh = make_mesh(n_slab=8)
+    ref = tritd_admm(y, cfg, mask=mask, origin=origin)
+    got = tritd_admm_auto(y, cfg, mesh, mask=mask, origin=origin)
+    np.testing.assert_allclose(
+        np.asarray(trim_history(got.err_hist, got.n_iters)),
+        np.asarray(trim_history(ref.err_hist, ref.n_iters)),
+        rtol=2e-3, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(trim_history(got.rre_hist, got.n_iters)),
+        np.asarray(trim_history(ref.rre_hist, ref.n_iters)),
+        rtol=2e-3, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.o), np.asarray(ref.o), rtol=2e-2, atol=2e-3
+    )
+
+
 def test_sharded_early_stop(problem):
     cfg = TriTDConfig(rank=2, max_iter=100, tol=1e-3)
     mesh = make_mesh(n_slab=4)

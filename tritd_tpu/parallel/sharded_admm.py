@@ -498,16 +498,33 @@ def tritd_admm_auto(
     mesh: Mesh,
     key: jax.Array | None = None,
     axis_name: str = AXIS,
+    mask: jnp.ndarray | None = None,
+    origin: jnp.ndarray | None = None,
 ):
     """GSPMD alternative: annotate the input sharding and let XLA's SPMD
-    partitioner place the collectives in the single-device solver."""
+    partitioner place the collectives in the single-device solver.
+
+    Accepts the same protocol surface as :func:`tritd_admm_sharded` and the
+    batch path (VERDICT r4 #5): `mask` (observed-entry indicator, used with
+    cfg.masked) and `origin` (oracle rre_hist) are sharded alongside `d`.
+    Mask padding is True (observed zero) and origin padding is zero — the
+    same invariants the shard_map path documents, so padded slabs stay
+    exactly inert under masked imputation and leave the RRE sums unchanged."""
     from ..solvers.admm import tritd_admm
 
     n_shards = mesh.shape[axis_name]
+    sharding = NamedSharding(mesh, P(axis_name, None, None))
     d = d.astype(cfg.jnp_dtype())
     d_pad, n1 = pad_to_multiple(d, 0, n_shards)
-    d_pad = jax.device_put(d_pad, NamedSharding(mesh, P(axis_name, None, None)))
-    res = tritd_admm(d_pad, cfg, key=key)
+    d_pad = jax.device_put(d_pad, sharding)
+    mask_pad = origin_pad = None
+    if mask is not None:
+        mask_pad = _pad_with(mask.astype(bool), 0, d_pad.shape[0], True)
+        mask_pad = jax.device_put(mask_pad, sharding)
+    if origin is not None:
+        origin_pad, _ = pad_to_multiple(origin.astype(cfg.jnp_dtype()), 0, n_shards)
+        origin_pad = jax.device_put(origin_pad, sharding)
+    res = tritd_admm(d_pad, cfg, key=key, mask=mask_pad, origin=origin_pad)
     return TriTDResult(
         a=res.a[:n1], b=res.b, c=res.c, o=res.o[:n1], e=res.e[:n1],
         err_hist=res.err_hist, rre_hist=res.rre_hist, n_iters=res.n_iters,
