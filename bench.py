@@ -277,6 +277,77 @@ def run_baseline(method: str, name: str, jax, jnp, np, svt_method: str = "gram",
     return row
 
 
+def run_sofia_stream(jax, jnp, np):
+    """Streaming-throughput row (VERDICT r4 #6): the per-step HW forecast +
+    Huber clean + scaled-SGD phase as a device lax.scan vs the host numpy
+    loop, on a network-shaped seasonal stream. Steps/s is the serving
+    metric — SOFIA's streaming phase is the one reference algorithm phase
+    that processes frames one at a time."""
+    from tritd_tpu.baselines.sofia import (
+        _stream_scan,
+        hw_fit,
+        sofia_init,
+        sofia_stream,
+    )
+    from tritd_tpu.data.synthetic import seasonal_cp
+
+    m, cycles, r = 168, 3, 3
+    shape = (23, 23, 2016)
+    key = jax.random.PRNGKey(0)
+    x = np.asarray(seasonal_cp(key, shape, rank=r, period=m), np.float64)
+    omega = np.ones(shape, bool)
+    ti = m * cycles
+    (u1, u2, u3), _, _, _ = sofia_init(
+        x[:, :, :ti], omega[:, :, :ti], r, m, 0.1, 0.001, 10.0,
+        max_epoch=10, key=key,
+    )
+    u1 = np.asarray(u1, np.float64)
+    u2 = np.asarray(u2, np.float64)
+    w_init = np.asarray(u3, np.float64)
+    for u in (u1, u2):
+        w = np.sqrt(np.sum(u**2, axis=0))
+        u /= w + 1e-30
+        w_init = w_init * w
+    _, ls, bs, ss, fs = hw_fit(w_init, m)
+    n_steps = shape[2] - ti
+
+    args = (
+        jnp.asarray(np.moveaxis(x[:, :, ti:], 2, 0), jnp.float32),
+        jnp.ones((n_steps, shape[0], shape[1]), jnp.float32),
+        jnp.asarray(u1, jnp.float32), jnp.asarray(u2, jnp.float32),
+        jnp.asarray(w_init[-m:], jnp.float32),
+        jnp.asarray(ls[-1], jnp.float32), jnp.asarray(bs[-1], jnp.float32),
+        jnp.asarray(ss[-m:], jnp.float32), jnp.asarray(fs, jnp.float32),
+        0.1 * jnp.ones(shape[:2], jnp.float32),
+        m, 0.1, 0.001, 0.1, 0.05, True,
+    )
+
+    def run_dev():
+        out = _stream_scan(*args)
+        np.asarray(out[2])
+        return out
+
+    run_dev()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_dev()
+        best = min(best, time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    sofia_stream(x, omega, r=r, m=m, cycles=cycles, max_epoch=1, key=key)
+    host_total = time.perf_counter() - t0  # includes a 1-epoch init
+
+    return {
+        "mode": "sofia_streaming_throughput",
+        "shape": list(shape),
+        "n_stream_steps": n_steps,
+        "device_scan_seconds": round(best, 4),
+        "device_steps_per_s": round(n_steps / best, 1),
+        "host_numpy_seconds_incl_1epoch_init": round(host_total, 2),
+    }
+
+
 def run_batched(jax, jnp, np):
     """Cross-dataset vmap batching (VERDICT r2 #8): zero-pad all four traffic
     datasets to one common shape, stack, and solve them in ONE vmapped
@@ -534,6 +605,12 @@ def main() -> None:
             lambda: run_batched(jax, jnp, np),
             {"mode": "batched_completion_protocol"},
             alarm_s=300,
+        )
+    if unbounded:
+        guarded(
+            lambda: run_sofia_stream(jax, jnp, np),
+            {"mode": "sofia_streaming_throughput"},
+            alarm_s=420,
         )
 
     print(

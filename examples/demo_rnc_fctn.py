@@ -3,10 +3,11 @@
 Mirrors `other_methods/IPI_RTC_FCTN-main/Demo_RNC_FCTN.m` (SURVEY §4): load
 a grayscale video, normalize, reshape to 4-way [I, J, 1, K]
 (`Demo_RNC_FCTN.m:11`), observe at `sample_ratio` (committed value 1.0,
-`:15`), and run the PAM solver with the demo's rank schedule. The original
-also builds a 3-direction interpolated warm start (`:33-55`) that is the
-identity at sample_ratio 1 — it is skipped here and the observed tensor used
-directly, as the committed configuration effectively does.
+`:15`), and run the PAM solver with the demo's rank schedule. At
+sample_ratio < 1 the reference's 2-direction interpolated warm start
+(`:33-55`) replaces the zero-filled data tensor
+(tritd_tpu.baselines.rnc_fctn.interpolate_init); at 1 it is the identity
+and is skipped.
 
 Run: python examples/demo_rnc_fctn.py [--dataset highway] [--frames 40]
      [--max-iter 20]
@@ -51,6 +52,10 @@ def main(argv=None) -> int:
     key = jax.random.PRNGKey(0)
     omega = jax.random.uniform(key, x4.shape) <= args.sample_ratio
     f_obs = jnp.where(omega, x4, 0.0)
+    if args.sample_ratio < 1.0:
+        from tritd_tpu.baselines.rnc_fctn import interpolate_init
+
+        f_obs = interpolate_init(f_obs, omega)
 
     t0 = time.perf_counter()
     x_hat4, _gs, e4, rse_hist, n_iters = rnc_fctn(

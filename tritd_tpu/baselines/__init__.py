@@ -10,7 +10,15 @@ from .rc_fctn import (
     balanced_bipartitions,
     weight_fctn,
 )
-from .sofia import sofia_als, sofia_init, sofia_stream, hw_fit, hw_forecast, hw_update
+from .sofia import (
+    sofia_als,
+    sofia_init,
+    sofia_stream,
+    sofia_stream_device,
+    hw_fit,
+    hw_forecast,
+    hw_update,
+)
 from .trpca import trpca_tnn, trpca_snn, prox_tnn
 from .rnc_fctn import rnc_fctn, fctn_compose
 
@@ -27,6 +35,7 @@ __all__ = [
     "sofia_als",
     "sofia_init",
     "sofia_stream",
+    "sofia_stream_device",
     "hw_fit",
     "hw_forecast",
     "hw_update",

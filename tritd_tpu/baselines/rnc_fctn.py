@@ -105,6 +105,73 @@ def _init_factors(key, nway, rank: np.ndarray, dtype):
     return tuple(gs), tempdim
 
 
+def _griddata_frames(vol: np.ndarray, mask: np.ndarray, fill: float) -> np.ndarray:
+    """`lib/interpolate.m:1-18`: per-frame scattered LINEAR interpolation of
+    the observed entries onto the full grid, NaN (outside the convex hull)
+    filled with `fill`. The reference's meshgrid/permute transposes cancel;
+    this is the direct equivalent on (row, col) coordinates."""
+    from scipy.interpolate import griddata
+
+    n1, n2, n3 = vol.shape
+    gx, gy = np.mgrid[0:n1, 0:n2]
+    out = np.empty_like(vol, dtype=np.float64)
+    for t in range(n3):
+        m = mask[:, :, t] > 0
+        if int(m.sum()) < 3:  # griddata needs a non-degenerate triangulation
+            out[:, :, t] = fill
+            continue
+        pts = np.argwhere(m).astype(np.float64)
+        interp = griddata(pts, vol[:, :, t][m], (gx, gy), method="linear")
+        np.nan_to_num(interp, copy=False, nan=fill)
+        out[:, :, t] = interp
+    return out
+
+
+def interpolate_init(
+    f: jnp.ndarray,
+    omega: jnp.ndarray,
+    pad: int = 20,
+    fill: float = 128.0,
+    clip: tuple[float, float] = (0.0, 1.0),
+) -> jnp.ndarray:
+    """RNC-FCTN's interpolation warm start for `sample_ratio < 1`
+    (`Demo_RNC_FCTN.m:37-55`, VERDICT r4 #9): symmetric-pad the 3-way view
+    by `pad`, linearly interpolate the observed entries in TWO shifted
+    plane orientations ((d2, d3) planes per d1 slice and (d3, d1) planes
+    per d2 slice), clip each to `clip`, restore observed entries, and
+    average 0.5/0.5. The result replaces the zero-filled data tensor as
+    RNC_FCTN's input (`:90` passes X1 as F). At sample_ratio 1 this is the
+    identity on observed data.
+
+    The `fill=128` on [0, 1]-scaled data is the reference's committed quirk
+    (`interpolate.m:17`); it is clipped to `clip[1]` immediately, so the
+    effective out-of-hull fill is the upper clip bound. Host-side numpy/
+    scipy: this is one-time init preprocessing, not a solve-loop path."""
+    f_np = np.asarray(f, np.float64)
+    om_np = np.asarray(omega, bool)
+    nway = f_np.shape
+    n1, n2 = nway[0], nway[1]
+    a3 = f_np.reshape(n1, n2, -1)
+    ind3 = om_np.reshape(n1, n2, -1).astype(np.float64)
+    obs = om_np.reshape(n1, n2, -1)
+    b = np.pad(a3, pad, mode="symmetric")
+    c = np.pad(ind3, pad, mode="symmetric")
+    lo, hi = clip
+    sl = slice(pad, -pad)
+
+    # a1: interpolate (d2, d3) planes across d1 (`shiftdim(B,1)`)
+    r1 = _griddata_frames(b.transpose(1, 2, 0), c.transpose(1, 2, 0), fill)
+    r1 = np.clip(r1, lo, hi)[sl, sl, sl].transpose(2, 0, 1)
+    r1[obs] = a3[obs]
+    # a2: interpolate (d3, d1) planes across d2 (`shiftdim(B,2)`)
+    r2 = _griddata_frames(b.transpose(2, 0, 1), c.transpose(2, 0, 1), fill)
+    r2 = np.clip(r2, lo, hi)[sl, sl, sl].transpose(1, 2, 0)
+    r2[obs] = a3[obs]
+
+    a = 0.5 * r1 + 0.5 * r2
+    return jnp.asarray(a.reshape(nway), jnp.asarray(f).dtype)
+
+
 def rnc_fctn(
     f: jnp.ndarray,
     lam: float,

@@ -503,6 +503,142 @@ def _biweight(x: np.ndarray, k: float = 4.685) -> np.ndarray:
     return np.where(inside, x * (1.0 - (x / k) ** 2) ** 2, 0.0)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("m", "lam1", "lam2", "mu", "phi", "need_outlier")
+)
+def _stream_scan(
+    y_tail, omega_tail, u1, u2, w_ring, l_last, b_last, ss_ring, fs, sigma0,
+    m, lam1, lam2, mu, phi, need_outlier,
+):
+    """Device-side streaming phase (`sofia.m:89-130`, VERDICT r4 #6): one
+    `lax.scan` step per incoming frame — HW forecast, Huber residual clean,
+    biweight sigma update, norm-clipped scaled SGD on (u1, u2, w_t), factor
+    renormalization, HW state update. The HW level/trend are scalars-per-
+    rank and the season + time-factor histories only ever look back m steps,
+    so the carry holds (m, r) delay rings instead of the full trajectories
+    (same structure as the ALS mode-3 sweep). Outputs stack per-step
+    (w_t, x_hat_t, o_t).
+
+    The host numpy path (sofia_stream) is the oracle; tests pin the scan
+    against it step-for-step."""
+    r = u1.shape[1]
+    sqrt_r = jnp.sqrt(jnp.asarray(float(r), u1.dtype))
+    alpha, beta, gamma = fs[0], fs[1], fs[2]
+
+    def step(carry, inputs):
+        u1, u2, w_ring, l_last, b_last, ss_ring, sigma = carry
+        yt, omt = inputs
+        # forecast (`hw_add_add_forecast.m`, h=1): l + b + s_{t-m}
+        ut = l_last + b_last + ss_ring[0]
+        yt_hat = (u1 * ut) @ u2.T
+        rt = yt - yt_hat
+        z = rt / sigma
+        crt = jnp.clip(z, -2.0, 2.0) * sigma            # huber.m, k=2
+        inside = jnp.abs(z) <= 4.685                    # biweight.m
+        rho = jnp.where(inside, z * (1.0 - (z / 4.685) ** 2) ** 2, 0.0)
+        sigma_new = jnp.sqrt(phi * rho * sigma**2 + (1 - phi) * sigma**2)
+        sigma = omt * sigma_new + (1 - omt) * sigma
+        crt = omt * crt
+        # gradients with temporal (w_{t-1}) + seasonal (w_{t-m}) coupling
+        g1 = (crt @ u2) * ut
+        g2 = (crt.T @ u1) * ut
+        g3 = jnp.einsum("ij,ir,jr->r", crt, u1, u2)
+        g3 = g3 + lam1 * (w_ring[-1] - ut) + lam2 * (w_ring[0] - ut)
+        new = []
+        for u, g in ((u1, g1), (u2, g2), (ut, g3)):
+            scale = jnp.minimum(
+                1.0, mu * sqrt_r / (jnp.linalg.norm(g.ravel()) + 1e-30)
+            )
+            new.append(u + mu * g * scale)
+        u1, u2, ut = new
+        for i in range(2):
+            wts = jnp.sqrt(jnp.sum(new[i] ** 2, axis=0))
+            new[i] = new[i] / (wts + 1e-30)
+            ut = ut * wts
+        u1, u2 = new[0], new[1]
+        # HW update (`hw_add_add_update.m`)
+        l_new = alpha * ut - alpha * ss_ring[0] + (1 - alpha) * (l_last + b_last)
+        b_new = beta * (l_new - l_last) + (1 - beta) * b_last
+        s_new = gamma * ut - gamma * (l_last + b_last) + (1 - gamma) * ss_ring[0]
+        ss_ring = jnp.concatenate([ss_ring[1:], s_new[None]], axis=0)
+        w_ring = jnp.concatenate([w_ring[1:], ut[None]], axis=0)
+        x_hat_t = (u1 * ut) @ u2.T
+        o_t = yt - (yt_hat + crt) if need_outlier else jnp.zeros_like(yt)
+        return (u1, u2, w_ring, l_new, b_new, ss_ring, sigma), (ut, x_hat_t, o_t)
+
+    carry0 = (u1, u2, w_ring, l_last, b_last, ss_ring, sigma0)
+    (u1, u2, *_), (w_out, x_out, o_out) = jax.lax.scan(
+        step, carry0, (y_tail, omega_tail)
+    )
+    return u1, u2, w_out, x_out, o_out
+
+
+def sofia_stream_device(
+    y,
+    omega,
+    r: int = 3,
+    m: int = 168,
+    cycles: int = 3,
+    lam1: float = 0.1,
+    lam2: float = 0.001,
+    lam3: float = 10.0,
+    mu: float = 0.1,
+    phi: float = 0.05,
+    max_epoch: int = 100,
+    tol: float = 1e-3,
+    need_outlier: bool = True,
+    key=None,
+    dtype=jnp.float32,
+):
+    """Streaming SOFIA with the per-step phase on device (one lax.scan over
+    the stream tail). Same protocol as :func:`sofia_stream`: batch init on
+    the first m*cycles frames, host-side HW fit (scipy L-BFGS-B, one-time),
+    then the scan. Returns (U=(u1, u2), W, X_hat, O) like the numpy path."""
+    y = np.asarray(y, np.float64)
+    omega_np = np.asarray(omega, bool)
+    y = np.where(omega_np, y, 0.0)
+    n1, n2, ntimes = y.shape
+    ti = m * cycles
+
+    (u1, u2, u3), x_init, o_init, _ = sofia_init(
+        y[:, :, :ti], omega_np[:, :, :ti], r, m, lam1, lam2, lam3,
+        max_epoch=max_epoch, tol=tol, key=key, dtype=dtype,
+    )
+    u1 = np.asarray(u1, np.float64)
+    u2 = np.asarray(u2, np.float64)
+    w_init = np.asarray(u3, np.float64)
+    for u in (u1, u2):
+        wts = np.sqrt(np.sum(u**2, axis=0))
+        u /= wts + 1e-30
+        w_init = w_init * wts
+
+    _, ls, bs, ss, fs = hw_fit(w_init, m)
+
+    u1_d, u2_d, w_out, x_out, o_out = _stream_scan(
+        jnp.asarray(np.moveaxis(y[:, :, ti:], 2, 0), dtype),
+        jnp.asarray(np.moveaxis(omega_np[:, :, ti:], 2, 0).astype(np.float64), dtype),
+        jnp.asarray(u1, dtype), jnp.asarray(u2, dtype),
+        jnp.asarray(w_init[-m:], dtype),
+        jnp.asarray(ls[-1], dtype), jnp.asarray(bs[-1], dtype),
+        jnp.asarray(ss[-m:], dtype),
+        jnp.asarray(fs, dtype),
+        jnp.asarray(0.1 * np.ones((n1, n2)), dtype),
+        int(m), float(lam1), float(lam2), float(mu), float(phi),
+        bool(need_outlier),
+    )
+    w = np.zeros((ntimes, r))
+    w[:ti] = w_init
+    w[ti:] = np.asarray(w_out, np.float64)
+    x_hat = np.zeros_like(y)
+    x_hat[:, :, :ti] = np.asarray(x_init)
+    x_hat[:, :, ti:] = np.moveaxis(np.asarray(x_out, np.float64), 0, 2)
+    o = np.zeros_like(y) if need_outlier else None
+    if need_outlier:
+        o[:, :, :ti] = np.asarray(o_init)
+        o[:, :, ti:] = np.moveaxis(np.asarray(o_out, np.float64), 0, 2)
+    return (np.asarray(u1_d), np.asarray(u2_d)), w, x_hat, o
+
+
 def sofia_stream(
     y,
     omega,

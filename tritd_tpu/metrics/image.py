@@ -81,3 +81,28 @@ def quality(x: jnp.ndarray, x_hat: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarra
     psnrs = jax.vmap(lambda a, b: psnr(a, b))(frames1, frames2)
     ssims = jax.vmap(lambda a, b: ssim_frame(a, b))(frames1, frames2)
     return jnp.mean(psnrs), jnp.mean(ssims)
+
+
+def msam(x: jnp.ndarray, x_hat: jnp.ndarray) -> jnp.ndarray:
+    """Mean Spectral Angle Mapper, degrees — `MSIQA.m:49-71` (SAM3D/SAM):
+    per spatial pixel, the angle between the two mode-3 fibers, averaged
+    over pixels (VERDICT r4 #9). SAM is scale-invariant, so the
+    reference's /255 is a no-op and omitted. Vectorized over pixels instead
+    of the reference's double loop; arccos input clamped to [-1, 1] (MATLAB
+    acosd would go complex at 1+eps rounding). Degenerate zero fibers give
+    NaN, propagated through the mean like the reference's."""
+    a = x.astype(jnp.float32)
+    b = x_hat.astype(jnp.float32)
+    dot = jnp.sum(a * b, axis=-1)
+    na = jnp.sum(a * a, axis=-1)
+    nb = jnp.sum(b * b, axis=-1)
+    cosv = dot / jnp.sqrt(na * nb)
+    ang = jnp.degrees(jnp.arccos(jnp.clip(cosv, -1.0, 1.0)))
+    return jnp.mean(ang)
+
+
+def msiqa(x: jnp.ndarray, x_hat: jnp.ndarray):
+    """(psnr, ssim, msam) triple — the full `MSIQA.m:1-47` output surface
+    on equal-shaped [0, 255]-range tensors."""
+    p, s = quality(x, x_hat)
+    return p, s, msam(x, x_hat)
