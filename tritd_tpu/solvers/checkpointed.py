@@ -88,6 +88,13 @@ def tritd_admm_checkpointed(
         save_state(
             os.path.join(ckpt_dir, f"step_{int(state.k):06d}.npz"), state
         )
+        # Failure-drill hook (SURVEY §5 failure detection; r4 weak #8): kill
+        # this process abruptly right after a checkpoint lands, so the
+        # resume path can be exercised under a REAL process death rather
+        # than a clean early return. Exit code 17 marks the injected fault.
+        die_at = os.environ.get("TRITD_DIE_AFTER_SAVE_STEP")
+        if die_at is not None and int(state.k) >= int(die_at):
+            os._exit(17)
 
     dtype = cfg.jnp_dtype()
     return TriTDResult(
