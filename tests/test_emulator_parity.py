@@ -40,6 +40,26 @@ def test_tiny_full_protocol_parity_all_methods():
         assert r["max_abs_diff_err_hist"] < 1e-10, r
 
 
+def test_tiny_video_protocol_parity_all_methods():
+    """Same harness under the VIDEO presets (VIDEO_TRITD, ring mu=1e-3,
+    fctn video split/lambda/f, sofia m=1) on a fully observed video-like
+    tensor — the second driver protocol's semantics, end to end."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "emulator_parity.py"),
+         "--tiny-video"],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    rows = [json.loads(line) for line in proc.stdout.splitlines()
+            if line.startswith("{") and '"method"' in line]
+    assert {r["method"] for r in rows} == {
+        "triple", "ttnn", "ring", "fctn", "sofia"
+    }
+    for r in rows:
+        assert r["pass"] and r["iters_match"], r
+        assert r["max_abs_diff_err_hist"] < 1e-10, r
+
+
 def test_emulator_triple_matches_golden_conventions():
     """The oracle package's column-major primitives agree with the pinned
     golden fixtures (tests/test_golden.py literals came from an identical

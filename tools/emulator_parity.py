@@ -132,7 +132,10 @@ def run_triple(x, y, mask, x_np, y_np, mask_np, spec, max_iter):
     from tritd_tpu.solvers.admm import init_factors
     from tritd_tpu.utils.config import COMPLETION_TRITD
 
-    cfg = dataclasses.replace(COMPLETION_TRITD, dtype="float64", max_iter=max_iter)
+    from tritd_tpu.utils.config import VIDEO_TRITD
+
+    base = VIDEO_TRITD if spec.kind == "video" else COMPLETION_TRITD
+    cfg = dataclasses.replace(base, dtype="float64", max_iter=max_iter)
     key = jax.random.PRNGKey(0)
     a0, b0, c0 = (
         np.asarray(u)
@@ -179,13 +182,14 @@ def run_ring(x, y, mask, x_np, y_np, mask_np, spec, max_iter):
     from tritd_tpu.baselines.rtrc import rtrc
     from tritd_tpu.oracle import rtrc_em
 
+    mu = 1e-3 if spec.kind == "video" else 1e-1  # `video...m:156` / `:139`
     t0 = time.perf_counter()
-    _, _, err_hist, n = rtrc(y, mask, mu=1e-1, origin=x, max_iter=max_iter,
+    _, _, err_hist, n = rtrc(y, mask, mu=mu, origin=x, max_iter=max_iter,
                              svt_method="svd")
     jh = np.asarray(err_hist)
     t_jax = time.perf_counter() - t0
     t0 = time.perf_counter()
-    em = rtrc_em(y_np, mask_np.astype(np.float64), x_np, mu=1e-1,
+    em = rtrc_em(y_np, mask_np.astype(np.float64), x_np, mu=mu,
                  max_iter=max_iter)
     t_em = time.perf_counter() - t0
     return _compare("ring", jh, em["err_hist"], n, max_iter, t_jax, t_em)
@@ -198,19 +202,32 @@ def run_fctn(x, y, mask, x_np, y_np, mask_np, spec, max_iter):
     from tritd_tpu.oracle import rc_fctn_em
 
     sub = spec.fctn_subdim
+    video = spec.kind == "video"
+    from tritd_tpu.baselines.rc_fctn import rc_fctn_driver_video
+
+    driver = rc_fctn_driver_video if video else rc_fctn_driver_traffic
     t0 = time.perf_counter()
-    _, _, err_hist = rc_fctn_driver_traffic(
+    _, _, err_hist = driver(
         y, mask, sub, origin=x, max_iter=max_iter, svt_method="svd"
     )
     jh = np.asarray(err_hist)
     t_jax = time.perf_counter() - t0
     i, j, k = y_np.shape
-    y4 = np.reshape(y_np, (i, j, k // sub, sub), order="F")
-    x4 = np.reshape(x_np, (i, j, k // sub, sub), order="F")
-    lam = 5000.0 / math.sqrt(max(i, j) * (k // sub) * sub)
-    ind1 = np.ones(y4.shape)  # driver quirk (`traffic_triple_comparison.m:157-158`)
+    if video:
+        # video split [I, J, sub, K/sub], Ind = observed, lambda = 1.8,
+        # f = 0.7 (`video_triple_comparison.m:240-262`)
+        shape4 = (i, j, sub, k // sub)
+        lam, f_ = 1.8, 0.7
+        ind1 = np.reshape(mask_np.astype(np.float64), shape4, order="F")
+    else:
+        shape4 = (i, j, k // sub, sub)
+        lam = 5000.0 / math.sqrt(max(i, j) * (k // sub) * sub)
+        f_ = 0.1
+        ind1 = np.ones(shape4)  # driver quirk (`traffic...m:157-158`)
+    y4 = np.reshape(y_np, shape4, order="F")
+    x4 = np.reshape(x_np, shape4, order="F")
     t0 = time.perf_counter()
-    em = rc_fctn_em(y4, lam, ind1, x4, f=0.1, gamma=1e-3, deta=1e-3,
+    em = rc_fctn_em(y4, lam, ind1, x4, f=f_, gamma=1e-3, deta=1e-3,
                     maxit=max_iter)
     t_em = time.perf_counter() - t0
     return _compare("fctn", jh, em["rse_real"], max_iter, max_iter, t_jax, t_em)
@@ -281,9 +298,31 @@ def _tiny_problem():
     )
 
 
+def _tiny_video_problem():
+    """Small video-protocol problem: fully observed (missing 0), video
+    presets selected via spec.kind (VIDEO_TRITD, ring mu=1e-3, fctn video
+    split/lambda, sofia m=1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tritd_tpu.data.loaders import DatasetSpec
+    from tritd_tpu.data.synthetic import synthetic_video
+
+    spec = DatasetSpec("tinyvid", "video", "gray_images", (20, 24, 24),
+                       fctn_subdim=4, sofia_period=1)
+    observed, _bg, _fg = synthetic_video(jax.random.PRNGKey(3), spec.shape)
+    x_np = np.asarray(observed, np.float64)
+    mask_np = np.ones(x_np.shape, bool)
+    return (
+        jnp.asarray(x_np), jnp.asarray(x_np), jnp.asarray(mask_np),
+        x_np, x_np.copy(), mask_np, spec, "synthetic",
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--tiny-video", action="store_true")
     ap.add_argument("--dataset")
     ap.add_argument("--method", choices=METHODS)
     ap.add_argument("--max-iter", type=int, default=100)
@@ -311,8 +350,8 @@ def main():
         print(json.dumps({"all_pass": out["all_pass"], "n_rows": len(rows)}))
         sys.exit(0 if out["all_pass"] else 1)
 
-    if args.tiny:
-        prob = _tiny_problem()
+    if args.tiny or args.tiny_video:
+        prob = _tiny_video_problem() if args.tiny_video else _tiny_problem()
         rows = []
         for m in METHODS:
             row = RUNNERS[m](*prob[:7], max_iter=30)
