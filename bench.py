@@ -549,9 +549,15 @@ def main() -> None:
         ("ring", "network", "warm:8"),
         ("fctn", "network", "warm:8"),
         ("sofia", "network", None),
-        ("ttnn", "chicago", "warm:8"),
+        # chicago ttnn/fctn at warm:32 — K=32 validated r5 at this exact
+        # protocol (docs/WARM_SVT_r05.json: fctn max|Δhist| 3.96e-3
+        # transient / final-X 3.5e-8 at 14.8x vs exact gram; ttnn 4.4e-4 /
+        # 1.9e-3 at 17.8x), with exact-gram CONTROL rows following. Ring
+        # stays warm:8: its eigh is NOT the bottleneck at this shape
+        # (K=32 measured 1.06x vs gram with worse final-X drift 2.9%).
+        ("ttnn", "chicago", "warm:32"),
         ("ring", "chicago", "warm:8"),
-        ("fctn", "chicago", "warm:8"),
+        ("fctn", "chicago", "warm:32"),
         ("sofia", "chicago", None),
         # exact-gram CONTROL rows for the warm-routed chicago cells — the
         # narrowest-margin warm cells — so the published-number claim never
