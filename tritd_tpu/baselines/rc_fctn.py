@@ -33,6 +33,7 @@ from ..ops.svt import (
     svt_ref_compat,
     svt_ref_compat_warm,
     warm_spec,
+    warm_unroll,
 )
 
 
@@ -175,7 +176,10 @@ def _rc_fctn_steps(
     # run_warm_blocks — constant program size, eigh only in the refresh
     # body). Chunk boundaries start a new block, so refreshes happen at
     # least every K iterations (never less often).
-    return run_warm_blocks(body, carry, k0, n_steps, warm_period)
+    return run_warm_blocks(
+        body, carry, k0, n_steps, warm_period,
+        unroll=warm_unroll(_bipartition_shapes(nway, dims_l)),
+    )
 
 
 def rc_fctn(

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.shrinkage import soft_threshold
-from ..ops.svt import run_warm_blocks, svt, svt_warm, warm_spec
+from ..ops.svt import run_warm_blocks, svt, svt_warm, warm_spec, warm_unroll
 
 
 def _circular_orders(n: int):
@@ -151,7 +151,10 @@ def _rtrc_run(
         jnp.full((max_iter,), jnp.nan, dtype),
     )
     if warm:
-        out = run_warm_blocks(body, carry0, 0, max_iter, warm_period)
+        out = run_warm_blocks(
+            body, carry0, 0, max_iter, warm_period,
+            unroll=warm_unroll([(d, total // d) for d in dims_l]),
+        )
     else:
         out = jax.lax.fori_loop(0, max_iter, body, carry0)
     x, y, _, _, _, _, err_hist = out

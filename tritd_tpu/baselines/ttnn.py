@@ -29,6 +29,7 @@ from ..ops.svt import (
     svt_ref_compat,
     svt_ref_compat_warm,
     warm_spec,
+    warm_unroll,
 )
 
 
@@ -125,7 +126,10 @@ def _tt_trpca_run(
         jnp.full((max_iter,), jnp.nan, dtype), jnp.full((max_iter,), jnp.nan, dtype),
     )
     if warm:
-        out = run_warm_blocks(body, carry0, 0, max_iter, warm_period)
+        out = run_warm_blocks(
+            body, carry0, 0, max_iter, warm_period,
+            unroll=warm_unroll([(d, total // d) for d in dim_l]),
+        )
     else:
         out = jax.lax.fori_loop(0, max_iter, body, carry0)
     z, s, _, _, _, _, err_hist, rel_hist = out

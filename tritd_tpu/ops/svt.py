@@ -221,15 +221,44 @@ def warm_spec(svt_method: str, mat_shapes) -> tuple[int, tuple[int, ...], tuple[
     return period, tuple(idx), tuple(thin)
 
 
-def run_warm_blocks(body, carry, k0, n_steps: int, period: int):
+#: Largest thin side at/below which the warm STALE loop is unrolled 4x.
+#: Small-cut warm programs (sensor/network shapes) are per-iteration
+#: latency-floor bound — unrolling the eigh-free stale body pipelines the
+#: small GEMMs (measured r5: sensor fctn warm:8 solve 0.297 -> 0.189 s,
+#: network 0.591 -> 0.498 s; unroll=8 adds nothing). Big-cut programs stay
+#: un-unrolled: a 4x stale-body duplication at chicago scale risks the
+#: known remote-compile-helper OOM (CLAUDE.md) for no gain (they are
+#: eigh-refresh bound, not loop-overhead bound).
+WARM_UNROLL_MAX_THIN = 768
+
+
+def warm_unroll(mat_shapes) -> int:
+    """Stale-loop unroll factor for a solver's unfolding shapes (see
+    WARM_UNROLL_MAX_THIN)."""
+    thin = [min(p, q) for p, q in mat_shapes]
+    return 4 if max(thin) <= WARM_UNROLL_MAX_THIN else 1
+
+
+def run_warm_blocks(body, carry, k0, n_steps: int, period: int,
+                    unroll: int = 1):
     """Drive `body(k, carry, refresh: bool)` for `n_steps` iterations from
     absolute iteration `k0`, refreshing (STATICALLY — see
     :func:`svt_ref_compat_warm` for why not a traced cond) on the first
     iteration of every `period`-block. Program size is CONSTANT in period:
     one refresh body + one fori_loop'd stale body per (full-blocks,
     remainder) section — NOT period-unrolled, so the compile-helper-killing
-    program growth of a K-way unroll is avoided."""
+    program growth of a K-way unroll is avoided. `unroll` (see
+    :func:`warm_unroll`) unrolls the STALE loop only — identical math,
+    XLA just pipelines the small-GEMM bodies."""
     import jax as _jax
+
+    def _fori(lo, hi, fn, c):
+        if unroll > 1:
+            try:
+                return _jax.lax.fori_loop(lo, hi, fn, c, unroll=unroll)
+            except TypeError:  # older jax without the unroll kwarg
+                pass
+        return _jax.lax.fori_loop(lo, hi, fn, c)
 
     n_blocks, rem = divmod(n_steps, period)
 
@@ -237,9 +266,7 @@ def run_warm_blocks(body, carry, k0, n_steps: int, period: int):
         base = k0 + b * period
         c = body(base, c, True)
         if period > 1:
-            c = _jax.lax.fori_loop(
-                1, period, lambda j, cc: body(base + j, cc, False), c
-            )
+            c = _fori(1, period, lambda j, cc: body(base + j, cc, False), c)
         return c
 
     if n_blocks:
@@ -248,7 +275,7 @@ def run_warm_blocks(body, carry, k0, n_steps: int, period: int):
         base = k0 + n_blocks * period
         carry = body(base, carry, True)
         if rem > 1:
-            carry = _jax.lax.fori_loop(
+            carry = _fori(
                 base + 1, base + rem, lambda k, cc: body(k, cc, False), carry
             )
     return carry
