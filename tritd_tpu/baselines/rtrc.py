@@ -44,20 +44,40 @@ def _circular_orders(n: int):
 _FREEDOM_RATIO_CACHE: dict = {}
 
 
+def _fingerprint(x_obs, p_mask) -> tuple:
+    """Cheap content fingerprint of (x_obs, p_mask) for the rank cache.
+
+    Hashing the full arrays would defeat the cache's purpose on TPU: it
+    forces a full device->host fetch (~47 MB through the axon tunnel takes
+    seconds) per call. Instead: sha1 of a strided device subsample
+    (<= ~64k elements, a small fetch) + the Frobenius norm + the observed
+    count. A false hit needs two different problems agreeing on all three
+    — not a realistic risk for cache reuse across repeated solves of the
+    same benchmark problem, which is the only pattern this serves."""
+    import hashlib
+
+    x = jnp.asarray(x_obs)
+    p = jnp.asarray(p_mask)
+    strides = tuple(max(1, s // 40) for s in x.shape)
+    sl = tuple(slice(None, None, st) for st in strides)
+    sample = np.asarray(x[sl], np.float32)
+    h = hashlib.sha1(sample.tobytes())
+    norm = float(jnp.linalg.norm(x.ravel()))
+    nobs = float(jnp.sum(p.astype(jnp.float32)))
+    return (x.shape, h.hexdigest(), round(norm, 4), nobs)
+
+
 def freedom_ratio(x_obs: np.ndarray, p_mask: np.ndarray, use_cache: bool = True):
     """(FR, Em) per `evaluate_fr_R.m`: numerical rank of each circular
     unfolding of the observed tensor drives the weights and epsilon."""
     key = None
     if use_cache:
-        import hashlib
-
-        h = hashlib.sha1()
-        h.update(np.ascontiguousarray(x_obs).tobytes())
-        h.update(np.ascontiguousarray(p_mask).tobytes())
-        key = (x_obs.shape, h.hexdigest())
+        key = _fingerprint(x_obs, p_mask)
         hit = _FREEDOM_RATIO_CACHE.get(key)
         if hit is not None:
             return hit
+    x_obs = np.asarray(x_obs)
+    p_mask = np.asarray(p_mask)
     n = x_obs.ndim
     shape = x_obs.shape
     m = p_mask.sum()
@@ -163,12 +183,12 @@ def _rtrc_run(
 
 def precompute_freedom_ratio(tnsr: jnp.ndarray, p_mask: jnp.ndarray):
     """Populate the freedom-ratio cache with EXACTLY the arrays a
-    subsequent :func:`rtrc` call will hash (same dtype conversions), and
-    return (FR, Em). Lets callers pay/report the host-SVD rank cost once,
-    separately from the device solve."""
-    p_np = np.asarray(p_mask, np.float64)
-    x_obs = jnp.asarray(tnsr) * jnp.asarray(p_np, jnp.asarray(tnsr).dtype)
-    return freedom_ratio(np.asarray(x_obs), p_np)
+    subsequent :func:`rtrc` call will fingerprint (same dtype conversions),
+    and return (FR, Em). Lets callers pay/report the host-SVD rank cost
+    once, separately from the device solve."""
+    tnsr = jnp.asarray(tnsr)
+    p_dev = jnp.asarray(p_mask).astype(tnsr.dtype)
+    return freedom_ratio(tnsr * p_dev, p_dev)
 
 
 def rtrc(
@@ -187,24 +207,29 @@ def rtrc(
     n = tnsr.ndim
     l = -(-n // 2)
     shape = tnsr.shape
-    p_np = np.asarray(p_mask, np.float64)
-    x_obs = jnp.asarray(tnsr) * jnp.asarray(p_np, tnsr.dtype)
+    # Stay on device: the old host conversions round-tripped ~150 MB
+    # through the axon tunnel per call (np mask cast + full x_obs fetch for
+    # the rank hash) and dominated the chicago/video ring rows. Only the
+    # fingerprint's small sample + two scalars are fetched on a cache hit.
+    tnsr = jnp.asarray(tnsr)
+    p_dev = jnp.asarray(p_mask).astype(tnsr.dtype)
+    x_obs = tnsr * p_dev
 
-    sr = p_np.sum() / p_np.size
+    sr = float(jnp.sum(p_dev)) / p_dev.size
     lam = 0.0
     for order in _circular_orders(n):
         dim_l = math.prod([shape[o] for o in order[:l]])
         dim_r = math.prod([shape[o] for o in order[l:]])
         lam += 500.0 / math.sqrt(sr * max(dim_l, dim_r))
 
-    _, em = freedom_ratio(np.asarray(x_obs), p_np)
+    _, em = freedom_ratio(x_obs, p_dev)
     weight = (1.0 / em) / (1.0 / em).sum()
 
     has_origin = origin is not None
     dummy = origin if has_origin else x_obs
     orders = tuple(tuple(int(v) for v in o) for o in _circular_orders(n))
     x, y, err_hist = _rtrc_run(
-        x_obs, jnp.asarray(p_np, tnsr.dtype), dummy,
+        x_obs, p_dev, dummy,
         float(mu), float(lam), tuple(float(w) for w in weight),
         orders, max_iter, has_origin, svt_method,
     )
