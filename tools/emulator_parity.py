@@ -95,9 +95,12 @@ def _compare(name, jax_hist, em_hist, jax_n, em_n, t_jax, t_em, extra=None):
     return row
 
 
-def _problem(dataset: str):
+def _problem(dataset: str, data_seed: int | None = None):
     """Bench-identical problem setup (bench.py::_load): seeded synthetic
-    stand-in of the published shape, 10% uniform missing, zero-filled."""
+    stand-in of the published shape, 10% uniform missing, zero-filled.
+    `data_seed` draws a FRESH mixed-family stand-in at the dataset's shape
+    instead (same hardening pattern as tools/validate_warm_svt.py
+    --data-seeds): trajectory agreement must not be a seed-0 artifact."""
     import jax
     import jax.numpy as jnp
 
@@ -105,6 +108,13 @@ def _problem(dataset: str):
     from tritd_tpu.utils.config import README_MISSING_RATIO
 
     x_np, spec, provenance = load_dataset(dataset)
+    if data_seed is not None:
+        from tritd_tpu.data.loaders import synthetic_traffic
+
+        x_np = synthetic_traffic(
+            spec, jax.random.PRNGKey(data_seed), data_seed
+        ).astype(np.float64)
+        provenance = f"synthetic-seed{data_seed}"
     key = jax.random.PRNGKey(0)
     mask = uniform_missing_mask(key, x_np.shape, README_MISSING_RATIO)
     mask_np = np.asarray(mask)
@@ -326,6 +336,7 @@ def main():
     ap.add_argument("--dataset")
     ap.add_argument("--method", choices=METHODS)
     ap.add_argument("--max-iter", type=int, default=100)
+    ap.add_argument("--data-seed", type=int, default=None)
     ap.add_argument("--collect", action="store_true")
     ap.add_argument("--out", default=os.path.join("docs", "EMULATOR_PARITY_r05.json"))
     args = ap.parse_args()
@@ -362,13 +373,16 @@ def main():
         sys.exit(0 if ok else 1)
 
     assert args.dataset and args.method, "--dataset and --method required"
-    prob = _problem(args.dataset)
+    prob = _problem(args.dataset, args.data_seed)
     row = RUNNERS[args.method](*prob[:7], max_iter=args.max_iter)
     row["dataset"] = args.dataset
     row["shape"] = list(prob[3].shape)
     row["provenance"] = prob[7]
     os.makedirs(PARTIAL_DIR, exist_ok=True)
-    path = os.path.join(PARTIAL_DIR, f"{args.dataset}_{args.method}.json")
+    seed_tag = "" if args.data_seed is None else f"_seed{args.data_seed}"
+    path = os.path.join(
+        PARTIAL_DIR, f"{args.dataset}_{args.method}{seed_tag}.json"
+    )
     with open(path, "w") as f:
         json.dump(row, f, indent=1)
     print(json.dumps(row))
