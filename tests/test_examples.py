@@ -41,6 +41,16 @@ class TestDemos:
         assert "mean_ssim" in capsys.readouterr().out
         assert (tmp_path / "highway_fctn_Xhat.npz").exists()
 
+    def test_demo_toolbox(self, capsys):
+        import demo_toolbox
+
+        rc = demo_toolbox.main(["--n", "10", "--rank", "2"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "cp_als through the class face" in out
+        assert "matrix-free" in out
+        assert "must decrease: True" in out
+
     def test_demo_rnc_fctn(self, tmp_path, capsys):
         import demo_rnc_fctn
 

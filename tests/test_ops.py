@@ -414,6 +414,55 @@ def test_warm_spec_strict_parsing():
             warm_spec(bad, [(200, 300)])
 
 
+def test_run_warm_blocks_traced_k0_with_remainder():
+    """Regression (r5): a TRACED k0 (the chunked-dispatch path) with a
+    remainder block > 1 must still trace under the stale-loop unroll —
+    warm:16 under chunk=25 hit 'unroll requires statically known bounds'
+    because the remainder fori looped over absolute iterations (k0 + j)
+    instead of the static offset. Also pins chunked == unchunked schedules:
+    the refresh pattern and visit order must be identical."""
+    from tritd_tpu.ops.svt import run_warm_blocks
+
+    def schedule(n_steps, period, k0_traced, unroll):
+        def run(k0):
+            def body(k, carry, refresh):
+                visits, refreshes = carry
+                visits = visits.at[k].add(1)
+                refreshes = refreshes.at[k].add(jnp.int32(1 if refresh else 0))
+                return visits, refreshes
+
+            carry = (jnp.zeros(40, jnp.int32), jnp.zeros(40, jnp.int32))
+            return run_warm_blocks(body, carry, k0, n_steps, period, unroll)
+
+        if k0_traced:
+            run = jax.jit(run)
+        return run
+
+    # chunk=25 / warm:16 (the failing config), traced k0, unroll=4
+    total, chunk, period = 35, 25, 16
+    visits = jnp.zeros(40, jnp.int32)
+    refreshes = jnp.zeros(40, jnp.int32)
+    k0 = 0
+    while k0 < total:
+        n = min(chunk, total - k0)
+        v, r = schedule(n, period, True, 4)(jnp.asarray(k0, jnp.int32))
+        visits, refreshes = visits + v, refreshes + r
+        k0 += n
+    np.testing.assert_array_equal(np.asarray(visits[:total]), 1)
+    assert int(visits[total:].sum()) == 0
+    # unchunked reference schedule (static k0) must visit identically
+    v1, r1 = schedule(total, period, False, 1)(0)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(visits))
+    # refresh guarantee (run_warm_blocks docstring): a refresh at iteration
+    # 0 and AT LEAST every `period` iterations — chunk boundaries reset the
+    # phase (start with a refresh), so gaps only shrink, never grow.
+    for r in (refreshes, r1):
+        pts = np.nonzero(np.asarray(r))[0]
+        assert pts[0] == 0
+        assert np.all(np.diff(pts) <= period)
+        assert pts[-1] > total - 1 - period  # tail covered too
+
+
 def test_ttnn_ring_warm_routes(rng_key):
     """warm:<K> on TTNN and RING: inert (== gram) when no cut qualifies,
     and close to the exact path when cuts DO carry a warm basis (thin side

@@ -275,9 +275,11 @@ def run_warm_blocks(body, carry, k0, n_steps: int, period: int,
         base = k0 + n_blocks * period
         carry = body(base, carry, True)
         if rem > 1:
-            carry = _fori(
-                base + 1, base + rem, lambda k, cc: body(k, cc, False), carry
-            )
+            # loop over the STATIC offset, not the absolute iteration: k0 is
+            # traced when the caller chunks its dispatches, and `unroll`
+            # requires statically-known bounds (warm:16 under chunk=25
+            # errored here; warm:8 only survived because 25 % 8 == 1).
+            carry = _fori(1, rem, lambda j, cc: body(base + j, cc, False), carry)
     return carry
 
 
