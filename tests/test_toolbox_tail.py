@@ -272,11 +272,20 @@ def test_ktensor_ttm_symmetrize():
     np.testing.assert_allclose(np.asarray(got.double()), np.asarray(want), rtol=1e-4, atol=1e-5)
     sym = kt3.symmetrize()
     assert bool(sym.issymmetric())
-    # symmetrize of an already-symmetric ktensor is a fixed point in value
+    # symmetrize of an already-symmetric ktensor is a fixed point in value,
+    # including negative weights at EVEN order (sign lives in lambda — a
+    # sign^(1/n) spread across factors would cancel for even n)
     ktsym = KTensor([u[0]] * 3, np.array([1.0, 2.0], np.float32))
     np.testing.assert_allclose(
         np.asarray(ktsym.symmetrize().double()),
         np.asarray(ktsym.double()),
+        rtol=1e-4, atol=1e-5,
+    )
+    u4 = RNG.standard_normal((3, 2)).astype(np.float32)
+    kt4 = KTensor([u4] * 4, np.array([1.0, -2.0], np.float32))
+    np.testing.assert_allclose(
+        np.asarray(kt4.symmetrize().double()),
+        np.asarray(kt4.double()),
         rtol=1e-4, atol=1e-5,
     )
 
@@ -395,14 +404,18 @@ def test_symktensor_fg_matches_dense_objective_and_autodiff():
     dense_f = float(
         jnp.sum((a.data - SymKTensor(lam, u, m).full().data) ** 2)
     )
-    assert np.isclose(float(f), dense_f, rtol=1e-8)
+    # f32 under the CPU test config (conftest does not enable x64): the
+    # Gram-identity F and the dense F agree to float32 roundoff
+    assert np.isclose(float(f), dense_f, rtol=1e-5)
 
     def obj(vec):
         mk = SymKTensor.from_vec(vec, n, p, m)
         return jnp.sum((a.data - mk.full().data) ** 2)
 
     g_auto = jax.grad(obj)(model.tovec())
-    np.testing.assert_allclose(np.asarray(g), np.asarray(g_auto), rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_auto), rtol=1e-4, atol=1e-4
+    )
 
 
 # ----------------------------------------------------- audit completeness

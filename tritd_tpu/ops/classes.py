@@ -931,8 +931,11 @@ class KTensor:
         if any(u.shape[0] != self.factors[0].shape[0] for u in self.factors):
             raise ValueError("only cubic ktensors can be symmetrized")
         n = self.ndim
-        # distribute lambda evenly into the factors (normalize(X, 0))
-        w_root = jnp.sign(self.weights) * jnp.abs(self.weights) ** (1.0 / n)
+        # distribute |lambda| evenly into the factors (normalize(X, 0));
+        # the SIGN stays in lambda — a sign spread as sign^(1/n) across the
+        # n factors would cancel for even n, and an even-order negative
+        # component has no equal-real-factor form with positive weight.
+        w_root = jnp.abs(self.weights) ** (1.0 / n)
         factors = [u * w_root[None, :] for u in self.factors]
         u1 = factors[0]
         avg = u1
@@ -941,7 +944,8 @@ class KTensor:
             sgn = jnp.where(sgn == 0, 1.0, sgn)
             avg = avg + u * sgn[None, :]
         avg = avg / n
-        return KTensor([avg] * n, jnp.ones((self.ncomponents(),), avg.dtype))
+        sgn_w = jnp.where(self.weights < 0, -1.0, 1.0).astype(avg.dtype)
+        return KTensor([avg] * n, sgn_w)
 
     def extract(self, idx) -> "KTensor":
         """Sub-ktensor of the selected components — ``@ktensor/extract.m``."""
