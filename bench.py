@@ -548,7 +548,7 @@ def main() -> None:
         ("sofia", "taxi", None),
         ("ttnn", "sensor", "gram"),
         ("ring", "sensor", "gram"),
-        ("fctn", "sensor", "warm:8"),
+        ("fctn", "sensor", "warm:32"),
         ("sofia", "sensor", None),
         ("ttnn", "highway", "gram"),
         ("ring", "highway", "gram"),
@@ -563,8 +563,17 @@ def main() -> None:
         # remaining completion datasets
         ("ttnn", "network", "warm:8"),
         ("ring", "network", "warm:8"),
-        ("fctn", "network", "warm:8"),
+        # network/sensor fctn at warm:32 — validated r5 continuation at this
+        # exact protocol (docs/WARM_SVT_r05B.json): 3-fresh-data-draw seed
+        # sweeps per dataset, worst max|Δhist| 6.5e-3 transient (iter 7-8,
+        # same standard as chicago warm:32), worst final-X drift 3.1e-8;
+        # network warm:32 measured 18.9x vs exact gram. The K=16/32
+        # programs only became traceable after the run_warm_blocks
+        # traced-k0 remainder fix.
+        ("fctn", "network", "warm:32"),
         ("sofia", "network", None),
+        # exact-gram CONTROL row for the (narrow-margin) network fctn cell
+        ("fctn", "network", "gram"),
         # chicago ttnn/fctn at warm:32 — K=32 validated r5 at this exact
         # protocol (docs/WARM_SVT_r05.json: fctn max|Δhist| 3.96e-3
         # transient / final-X 3.5e-8 at 14.8x vs exact gram; ttnn 4.4e-4 /
